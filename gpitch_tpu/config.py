@@ -1,0 +1,57 @@
+"""Global numerics configuration.
+
+The reference (gpflow `settings`, used at e.g. /root/reference/gpitch/pdgp.py:13-14)
+runs float64 with a global jitter level.  On TPU float64 is emulated and slow, so the
+default here is float32 with a larger jitter; float64 can be enabled globally via
+``jax.config.update("jax_enable_x64", True)`` (the test-suite does this on CPU) and
+everything below follows automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "default_float",
+    "default_jitter",
+    "set_jitter",
+    "NumericsConfig",
+]
+
+
+def default_float() -> jnp.dtype:
+    """Active float dtype: float64 iff x64 is enabled, else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+_JITTER = {"value": None}
+
+
+def default_jitter() -> float:
+    """Diagonal jitter added to Gram matrices before Cholesky.
+
+    Mirrors gpflow ``settings.numerics.jitter_level`` (reference pdgp.py:14,
+    sgpr_ss.py:43).  f32 needs a larger floor than f64.
+    """
+    if _JITTER["value"] is not None:
+        return _JITTER["value"]
+    return 1e-6 if jax.config.jax_enable_x64 else 1e-4
+
+
+def set_jitter(value: float | None) -> None:
+    """Override the global jitter level (``None`` restores dtype-based default)."""
+    _JITTER["value"] = value
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericsConfig:
+    """Per-model numerics overrides."""
+
+    jitter: float | None = None
+    gh_points: int = 20  # Gauss-Hermite order, reference likelihoods.py:429
+
+    def jitter_value(self) -> float:
+        return self.jitter if self.jitter is not None else default_jitter()

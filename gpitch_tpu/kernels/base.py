@@ -1,0 +1,156 @@
+"""Kernel protocol and combination kernels.
+
+Functional counterpart of the gpflow ``Kern`` protocol the reference implements
+(/root/reference/gpitch/kernels.py:15-571): each kernel is a registered pytree
+module whose fields are Params (differentiable, constrained) plus static shape
+metadata, with pure methods
+
+    K(X, X2=None) -> (N, M) Gram matrix
+    Kdiag(X)      -> (N,) diagonal
+
+X has shape (N, D) with D=1 for audio time vectors.  Unlike the reference there
+is no graph/session state: kernels compose with jit/grad/vmap, and homogeneous
+kernel lists can be stacked into one batched pytree (see ``stack_modules``) so a
+whole bank of per-pitch kernels evaluates as a single vmapped/MXU-batched op —
+replacing the per-source Python loops of pdgp.py:146-155.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import module, static_field
+
+__all__ = ["Kernel", "Sum", "Product", "White", "Constant",
+           "absdist", "sqdist", "euclid_dist", "stack_modules", "unstack_modules"]
+
+
+def sqdist(X, X2=None):
+    """Pairwise squared euclidean distance, (N, M). X: (N, D)."""
+    if X2 is None:
+        X2 = X
+    xs = jnp.sum(jnp.square(X), axis=-1)
+    x2s = jnp.sum(jnp.square(X2), axis=-1)
+    d2 = xs[:, None] + x2s[None, :] - 2.0 * (X @ X2.T)
+    return jnp.maximum(d2, 0.0)
+
+
+def euclid_dist(X, X2=None, eps: float = 1e-12):
+    """sqrt(sqdist + eps) — matches the reference's guarded sqrt (kernels.py:140-142)."""
+    return jnp.sqrt(sqdist(X, X2) + eps)
+
+
+def absdist(X, X2=None):
+    """Exact |x - x2'| for 1-D inputs (avoids the sqrt-of-square dance)."""
+    if X2 is None:
+        X2 = X
+    return jnp.abs(X[:, None, :] - X2[None, :, :]).sum(-1)
+
+
+class Kernel:
+    """Mixin providing combination operators; concrete kernels add K/Kdiag."""
+
+    def K(self, X, X2=None):
+        raise NotImplementedError
+
+    def Kdiag(self, X):
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return Sum(kern_list=_flatten_combination(self, other, Sum))
+
+    def __mul__(self, other):
+        return Product(kern_list=_flatten_combination(self, other, Product))
+
+
+def _flatten_combination(a, b, cls):
+    parts = []
+    for k in (a, b):
+        if isinstance(k, cls):
+            parts.extend(k.kern_list)
+        else:
+            parts.append(k)
+    return tuple(parts)
+
+
+@module
+class Sum(Kernel):
+    """Sum kernel; exposes ``kern_list`` like gpflow Add (used by the separation
+    model's per-source posterior, sgpr_ss.py:86-93)."""
+
+    kern_list: tuple = ()
+
+    def K(self, X, X2=None):
+        parts = [k.K(X, X2) for k in self.kern_list]
+        return sum(parts[1:], parts[0])
+
+    def Kdiag(self, X):
+        parts = [k.Kdiag(X) for k in self.kern_list]
+        return sum(parts[1:], parts[0])
+
+
+@module
+class Product(Kernel):
+    kern_list: tuple = ()
+
+    def K(self, X, X2=None):
+        out = self.kern_list[0].K(X, X2)
+        for k in self.kern_list[1:]:
+            out = out * k.K(X, X2)
+        return out
+
+    def Kdiag(self, X):
+        out = self.kern_list[0].Kdiag(X)
+        for k in self.kern_list[1:]:
+            out = out * k.Kdiag(X)
+        return out
+
+
+@module
+class White(Kernel):
+    """White-noise kernel (not in the reference's zoo but required for composing
+    numerically robust inducing covariances)."""
+
+    variance: Any = None
+
+    def K(self, X, X2=None):
+        if X2 is None:
+            return self.variance.value * jnp.eye(X.shape[0], dtype=X.dtype)
+        return jnp.zeros((X.shape[0], X2.shape[0]), dtype=X.dtype)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
+
+
+@module
+class Constant(Kernel):
+    variance: Any = None
+
+    def K(self, X, X2=None):
+        m = X.shape[0] if X2 is None else X2.shape[0]
+        return jnp.full((X.shape[0], m), self.variance.value, dtype=X.dtype)
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
+
+
+def stack_modules(mods: Sequence[Any]):
+    """Stack a homogeneous list of modules into one batched pytree.
+
+    All modules must share treedef and leaf shapes.  The result has a leading
+    axis of size len(mods) on every leaf; use with jax.vmap to evaluate a bank
+    of kernels/models in one compiled op.
+    """
+    treedefs = {jax.tree_util.tree_structure(m) for m in mods}
+    if len(treedefs) != 1:
+        raise ValueError("stack_modules requires homogeneous modules; got "
+                         f"{len(treedefs)} distinct structures")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *mods)
+
+
+def unstack_modules(stacked, n: int):
+    """Inverse of stack_modules."""
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n)]

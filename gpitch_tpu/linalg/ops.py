@@ -1,0 +1,93 @@
+"""Dense GP linear algebra: jittered Cholesky, conditionals, KL terms.
+
+Rebuilds the gpflow machinery the reference calls into:
+``gpflow.conditionals.conditional`` (used at /root/reference/gpitch/pdgp.py:147-155)
+and ``gpflow.kullback_leiblers.gauss_kl`` (pdgp.py:120-129), on top of
+``tf.cholesky``/``tf.matrix_triangular_solve`` (sgpr_ss.py:44-53).  Everything is
+a pure function of arrays, batched-friendly (vmap over leading axes) and
+lowered by XLA to the TPU's native Cholesky/triangular-solve ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..config import default_jitter
+
+__all__ = ["add_jitter", "safe_cholesky", "solve_lower", "solve_upper",
+           "conditional", "base_conditional", "gauss_kl"]
+
+
+def add_jitter(K, jitter: float | None = None):
+    j = default_jitter() if jitter is None else jitter
+    return K + j * jnp.eye(K.shape[-1], dtype=K.dtype)
+
+
+def safe_cholesky(K, jitter: float | None = None):
+    """Cholesky of K + jitter*I (reference pdgp.py:126-127, sgpr_ss.py:43)."""
+    return jnp.linalg.cholesky(add_jitter(K, jitter))
+
+
+def solve_lower(L, B):
+    return jsl.solve_triangular(L, B, lower=True)
+
+
+def solve_upper(L, B):
+    """Solves L^T x = B for lower-triangular L."""
+    return jsl.solve_triangular(L.T, B, lower=False)
+
+
+def base_conditional(Kmn, Lm, Knn_diag, q_mu, q_sqrt=None, whiten=True):
+    """q(f(Xnew)) given q(u)=N(q_mu, q_sqrt q_sqrt^T) and precomputed chol(Kmm).
+
+    Kmn: (M, N) cross-covariance; Lm: (M, M) Cholesky of Kmm+jitter;
+    Knn_diag: (N,); q_mu: (M, Q); q_sqrt: (M, M) lower-triangular or None.
+    Returns mean (N, Q), var (N, Q) — the marginal (full_cov=False) path, which
+    is the only one the reference exercises (pdgp.py:150).
+    """
+    A = solve_lower(Lm, Kmn)                       # (M, N)
+    fvar = Knn_diag - jnp.sum(jnp.square(A), 0)    # (N,)
+    if not whiten:
+        A = solve_upper(Lm, A)                     # Kmm^{-1} Kmn path
+    fmean = A.T @ q_mu                             # (N, Q)
+    if q_sqrt is not None:
+        LTA = jnp.tril(q_sqrt).T @ A               # (M, N)
+        fvar = fvar + jnp.sum(jnp.square(LTA), 0)
+    return fmean, fvar[:, None] * jnp.ones_like(fmean)
+
+
+def conditional(Xnew, Z, kernel, q_mu, q_sqrt=None, whiten=True,
+                jitter: float | None = None):
+    """Functional gpflow.conditionals.conditional (pdgp.py:147-155)."""
+    Kmm = kernel.K(Z)
+    Lm = safe_cholesky(Kmm, jitter)
+    Kmn = kernel.K(Z, Xnew)
+    Knn = kernel.Kdiag(Xnew)
+    return base_conditional(Kmn, Lm, Knn, q_mu, q_sqrt, whiten)
+
+
+def gauss_kl(q_mu, q_sqrt, K=None, jitter: float | None = None):
+    """KL[N(q_mu, S) || N(0, K)] with S = tril(q_sqrt) tril(q_sqrt)^T.
+
+    K=None is the whitened prior N(0, I) — reference pdgp.py:120-121; the
+    unwhitened path (pdgp.py:126-129) passes K(Z)+jitter.
+    q_mu: (M, Q); q_sqrt: (M, M) (Q=1 in gpitch models).
+    """
+    M = q_mu.shape[0]
+    q = q_mu.shape[1]
+    Lq = jnp.tril(q_sqrt)
+    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lq)) + 1e-38))
+    if K is None:
+        mahal = jnp.sum(jnp.square(q_mu))
+        trace = jnp.sum(jnp.square(Lq)) * q
+        logdet_p = 0.0
+    else:
+        Lp = safe_cholesky(K, jitter) if K.ndim == 2 else K
+        alpha = solve_lower(Lp, q_mu)
+        mahal = jnp.sum(jnp.square(alpha))
+        LiLq = solve_lower(Lp, Lq)
+        trace = jnp.sum(jnp.square(LiLq)) * q
+        logdet_p = 2.0 * q * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lp))))
+    return 0.5 * (mahal + trace - M * q - q * logdet_q + logdet_p)

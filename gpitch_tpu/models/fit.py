@@ -1,0 +1,125 @@
+"""Jit-compiled training loops.
+
+Replaces gpflow 0.x ``Model.optimize`` (used at
+/root/reference/demos/scripts/demo-modgp.py:44-45 with AdamOptimizer, and at
+separation.py:298 / transcription.py:283 with scipy L-BFGS-B): the reference
+pays a Python<->TF session round-trip per optimizer step; here the *entire*
+optimization (minibatch sampling, ELBO, gradients, update) is one
+``lax.scan`` inside a single jit — one device dispatch for the whole run.
+
+Non-trainable parameters (the reference's ``.fixed = True``) are handled by
+masking gradient leaves (core.params.zero_untrainable_grads).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.params import zero_untrainable_grads
+
+__all__ = ["fit_adam", "fit_lbfgs", "adam_step_fn", "minibatch_fn"]
+
+
+def minibatch_fn(x, y, minibatch_size: int):
+    """Uniform minibatch sampler (MinibatchData equivalent, pdgp.py:76-77).
+
+    Returns batch_fn(key) -> (xb, yb); sampling is with replacement (the
+    fixed-seed permutation of the reference is an implementation detail, not a
+    contract).
+    """
+    n = x.shape[0]
+
+    def batch_fn(key):
+        idx = jax.random.randint(key, (minibatch_size,), 0, n)
+        return x[idx], y[idx]
+
+    return batch_fn
+
+
+def adam_step_fn(loss_fn: Callable, optimizer) -> Callable:
+    """Builds step((model, opt_state), batch) -> ((model, opt_state), loss)."""
+
+    def step(carry, batch):
+        model, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(model, *batch)
+        grads = zero_untrainable_grads(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return (model, opt_state), loss
+
+    return step
+
+
+def fit_adam(model, loss_fn: Callable, num_steps: int, learning_rate: float = 0.005,
+             batch_fn: Callable | None = None, key=None, optimizer=None):
+    """Run ``num_steps`` of Adam fully inside one jit.
+
+    loss_fn(model, *batch) -> scalar.  With ``batch_fn`` (key -> batch tuple),
+    a fresh minibatch is drawn every step; otherwise loss_fn(model) is used.
+    Returns (model, losses[num_steps]).
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = optimizer.init(model)
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    if batch_fn is None:
+        step = adam_step_fn(lambda m: loss_fn(m), optimizer)
+
+        @jax.jit
+        def run(model, opt_state):
+            def body(carry, _):
+                return step(carry, ())
+            return jax.lax.scan(body, (model, opt_state), None, length=num_steps)
+    else:
+        step = adam_step_fn(loss_fn, optimizer)
+
+        @jax.jit
+        def run(model, opt_state):
+            keys = jax.random.split(key, num_steps)
+
+            def body(carry, k):
+                return step(carry, batch_fn(k))
+            return jax.lax.scan(body, (model, opt_state), keys)
+
+    (model, _), losses = run(model, opt_state)
+    return model, losses
+
+
+def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,
+              tol: float = 0.0):
+    """L-BFGS with zoom linesearch over the full model pytree.
+
+    Replaces the scipy L-BFGS-B the reference uses for the per-window
+    separation/AMT optimizations (separation.py:298) — here the whole solver
+    runs on-device inside one jit.  loss_fn(model) -> scalar.
+    Returns (model, losses).
+    """
+    optimizer = optax.lbfgs(memory_size=memory_size)
+
+    def masked_loss(m):
+        return loss_fn(m)
+
+    value_and_grad = optax.value_and_grad_from_state(masked_loss)
+
+    @jax.jit
+    def run(model):
+        opt_state = optimizer.init(model)
+
+        def body(carry, _):
+            m, st = carry
+            value, grads = value_and_grad(m, state=st)
+            grads = zero_untrainable_grads(grads)
+            updates, st = optimizer.update(grads, st, m, value=value, grad=grads,
+                                           value_fn=masked_loss)
+            m = optax.apply_updates(m, updates)
+            return (m, st), value
+
+        (m, _), losses = jax.lax.scan(body, (model, opt_state), None,
+                                      length=num_steps)
+        return m, losses
+
+    return run(model)

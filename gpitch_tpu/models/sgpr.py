@@ -1,0 +1,205 @@
+"""Gaussian-process regression models: GPR, SGPR (Titsias) and the
+source-separation variant SGPRSS.
+
+Rebuilds /root/reference/gpitch/sgpr_ss.py:10-114 (which itself re-implements
+gpflow's collapsed SGPR bound at lines 29-71) plus the dense GPR the reference
+takes from gpflow (used by KernelGPR, kernels.py:522-556).
+
+TPU-first details:
+* every bound/predict is a pure function over a pytree model -> one jit'd
+  Cholesky + triangular-solve pipeline;
+* an optional data mask makes the bound exact for zero-padded windows, which is
+  what lets the separation/AMT pipelines vmap a *batch of windows* through a
+  single compiled step (replacing the sequential per-window loop of
+  separation.py:289) — padded points contribute nothing to any term;
+* per-source prediction batches the S cross-covariance solves as one stacked
+  triangular solve.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NumericsConfig
+from ..core.params import Param, module, static_field
+from ..core.transforms import Positive
+from ..linalg.ops import safe_cholesky, solve_lower
+
+__all__ = ["GPR", "SGPR", "SGPRSS"]
+
+_LOG2PI = 1.8378770664093453
+
+
+@module
+class GPR:
+    """Dense GP regression (gpflow.gpr.GPR equivalent; consumed by
+    kernels.KernelGPR — reference kernels.py:526-553)."""
+
+    kern: Any = None
+    variance: Any = None          # likelihood noise
+    X: Any = None                 # training inputs (N, D), fixed
+    Y: Any = None                 # training targets (N, 1), fixed
+    numerics: NumericsConfig = static_field(NumericsConfig())
+
+    @classmethod
+    def create(cls, X, Y, kern, noise_variance=1.0, numerics=NumericsConfig()):
+        return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
+                   X=Param.create(X, trainable=False),
+                   Y=Param.create(Y, trainable=False), numerics=numerics)
+
+    def _chol(self):
+        K = self.kern.K(self.X.value)
+        Ky = K + self.variance.value * jnp.eye(K.shape[0], dtype=K.dtype)
+        return safe_cholesky(Ky, self.numerics.jitter_value())
+
+    def log_marginal_likelihood(self):
+        y = self.Y.value
+        L = self._chol()
+        alpha = solve_lower(L, y)
+        n = y.shape[0]
+        return (-0.5 * jnp.sum(jnp.square(alpha))
+                - jnp.sum(jnp.log(jnp.diag(L)))
+                - 0.5 * n * _LOG2PI)
+
+    def loss(self):
+        return -self.log_marginal_likelihood()
+
+    def predict_f(self, Xnew):
+        L = self._chol()
+        Kx = self.kern.K(self.X.value, Xnew)
+        A = solve_lower(L, Kx)
+        V = solve_lower(L, self.Y.value)
+        mean = A.T @ V
+        var = self.kern.Kdiag(Xnew) - jnp.sum(jnp.square(A), 0)
+        return mean, var[:, None]
+
+
+@module
+class SGPR:
+    """Collapsed sparse GP regression (Titsias bound) — reference
+    sgpr_ss.py:29-71.
+
+    ``mask`` (optional, (N,) in {0,1}) marks valid data points; with zero-padded
+    (x, y) rows and the mask, the bound equals the unpadded bound exactly:
+    masked columns of A and rows of err vanish, and num_data counts the mask.
+    """
+
+    kern: Any = None
+    variance: Any = None          # likelihood noise
+    X: Any = None
+    Y: Any = None
+    Z: Any = None                 # inducing inputs (M, 1)
+    mask: Any = None              # (N,) float or None
+    reg: bool = static_field(False)
+    reg_beta: float = static_field(1000.0)
+    numerics: NumericsConfig = static_field(NumericsConfig())
+
+    @classmethod
+    def create(cls, X, Y, kern, Z, noise_variance=1.0, mask=None, reg=False,
+               numerics=NumericsConfig()):
+        return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
+                   X=Param.create(X, trainable=False),
+                   Y=Param.create(Y, trainable=False),
+                   Z=Param.create(jnp.asarray(Z).reshape(-1, 1), trainable=False),
+                   mask=None if mask is None else jnp.asarray(mask),
+                   reg=reg, numerics=numerics)
+
+    # ------------------------------------------------------------- bound
+    def _common(self):
+        x, y, z = self.X.value, self.Y.value, self.Z.value
+        sigma2 = self.variance.value
+        err = y
+        kdiag = self.kern.Kdiag(x)
+        kuf = self.kern.K(z, x)
+        if self.mask is not None:
+            err = err * self.mask[:, None]
+            kdiag = kdiag * self.mask
+            kuf = kuf * self.mask[None, :]
+        kuu = self.kern.K(z)
+        L = safe_cholesky(kuu, self.numerics.jitter_value())
+        A = solve_lower(L, kuf) / jnp.sqrt(sigma2)
+        AAT = A @ A.T
+        B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
+        LB = safe_cholesky(B, 0.0)
+        Aerr = A @ err
+        c = solve_lower(LB, Aerr) / jnp.sqrt(sigma2)
+        return err, kdiag, L, A, AAT, LB, c, sigma2
+
+    def elbo(self):
+        """The collapsed bound, term-for-term sgpr_ss.py:56-62."""
+        err, kdiag, _, _, AAT, LB, c, sigma2 = self._common()
+        num_data = (jnp.sum(self.mask) if self.mask is not None
+                    else jnp.asarray(err.shape[0], err.dtype))
+        outdim = err.shape[1]
+        bound = -0.5 * num_data * outdim * _LOG2PI
+        bound -= outdim * jnp.sum(jnp.log(jnp.diag(LB)))
+        bound -= 0.5 * num_data * outdim * jnp.log(sigma2)
+        bound -= 0.5 * jnp.sum(jnp.square(err)) / sigma2
+        bound += 0.5 * jnp.sum(jnp.square(c))
+        bound -= 0.5 * outdim * jnp.sum(kdiag) / sigma2
+        bound += 0.5 * outdim * jnp.trace(AAT)
+        if self.reg:
+            bound = bound - self.reg_beta * self._l1_variances()
+        return bound
+
+    def _l1_variances(self):
+        """L1 penalty over per-pitch kernel variances (sgpr_ss.py:17-27, 64-68)."""
+        total = 0.0
+        for k in getattr(self.kern, "kern_list", [self.kern]):
+            total = total + jnp.sum(jnp.abs(k.variance.value))
+        return total
+
+    def loss(self):
+        return -self.elbo()
+
+    # ----------------------------------------------------------- predict
+    def predict_f(self, Xnew):
+        """Titsias posterior at Xnew (gpflow SGPR.build_predict equivalent)."""
+        err, _, L, A, _, LB, c, sigma2 = self._common()
+        kus = self.kern.K(self.Z.value, Xnew)
+        tmp1 = solve_lower(L, kus)
+        tmp2 = solve_lower(LB, tmp1)
+        mean = tmp2.T @ c
+        var = (self.kern.Kdiag(Xnew)
+               + jnp.sum(jnp.square(tmp2), 0)
+               - jnp.sum(jnp.square(tmp1), 0))
+        return mean, var[:, None]
+
+
+@module
+class SGPRSS(SGPR):
+    """SGPR with per-source posterior prediction (sgpr_ss.py:73-114).
+
+    The model kernel is a Sum over per-pitch kernels; ``predict_s`` returns the
+    posterior of each additive component given the observed mixture, via the
+    full-data Cholesky of K + sigma^2 I (sgpr_ss.py:88-90).
+    """
+
+    def predict_s(self, Xnew):
+        """[(N,1) means], [(N,1) vars] per source — sgpr_ss.py:92-106."""
+        x, y = self.X.value, self.Y.value
+        sigma2 = self.variance.value
+        kxx = self.kern.K(x)
+        if self.mask is not None:
+            m = self.mask
+            # padded rows/cols become unit-diagonal noise, decoupled from data
+            kxx = kxx * (m[:, None] * m[None, :])
+            y = y * m[:, None]
+        ky = kxx + sigma2 * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
+        L = safe_cholesky(ky, self.numerics.jitter_value())
+        V = solve_lower(L, y)
+
+        kerns = list(self.kern.kern_list)
+        means, variances = [], []
+        for k in kerns:
+            kx = k.K(x, Xnew)
+            if self.mask is not None:
+                kx = kx * self.mask[:, None]
+            A = solve_lower(L, kx)
+            means.append(A.T @ V)
+            svar = k.Kdiag(Xnew) - jnp.sum(jnp.square(A), 0)
+            variances.append(svar[:, None])
+        return means, variances

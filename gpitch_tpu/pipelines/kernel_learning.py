@@ -1,0 +1,130 @@
+"""Kernel learning from isolated-note recordings (the "training" stage).
+
+Rebuilds /root/reference/gpitch/samplecov.py, covsamp.py and kernelfit.py:
+
+* ``sample_cov`` — Monte-Carlo covariance from random windows.  The reference
+  runs one TF session call *per sample* (samplecov.py:28-33, 10k round trips);
+  here all samples gather into an (S, size) matrix and the covariance is a
+  single X^T X matmul on the MXU.
+* ``autocorr`` — autocorrelation kernel estimate (samplecov.py:56-74) as one
+  FFT-based correlation.
+* ``fit_kernel`` — fit the parametric Matern-spectral-mixture form to the
+  sampled kernel (kernelfit.py:28-87).  The reference uses scipy L-BFGS-B on
+  CPU; here the same RMSE objective runs through optax L-BFGS under jit, with
+  the same sqrt(p^2) reparameterization trick for positivity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.spectrum import init_cparam
+from ..models.fit import fit_lbfgs
+from ..utils.math import find_ideal_f0
+
+__all__ = ["sample_cov", "autocorr", "approximate_kernel", "fit_kernel",
+           "gabor_sum", "fit_kernel_gabor"]
+
+
+def sample_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
+    """(cov, kern, samples): Monte-Carlo covariance of ``num_sam`` random
+    windows of length ``size`` (samplecov.py:5-53).  kern = first row of cov,
+    peak-normalized (samplecov.py:51-52)."""
+    y = np.asarray(y).reshape(-1)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, y.size - size, size=num_sam)
+    windows = y[idx[:, None] + np.arange(size)[None, :]]  # (S, size)
+    w = jnp.asarray(windows)
+    cov = np.asarray(jnp.matmul(w.T, w, preferred_element_type=w.dtype)) / num_sam
+    kern = cov[0, :].copy().reshape(-1, 1)
+    kern /= np.max(np.abs(kern))
+    return cov, kern, windows
+
+
+def autocorr(y, size: int):
+    """Autocorrelation kernel estimate (samplecov.py:56-74), via FFT instead of
+    the reference's O(n*size) Python loop."""
+    y = np.asarray(y).reshape(-1)
+    n = y.size
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    spec = np.fft.rfft(y, nfft)
+    r_full = np.fft.irfft(spec * np.conj(spec), nfft)[:size]
+    r = r_full / np.max(np.abs(r_full))
+    return r.reshape(-1, 1)
+
+
+def approximate_kernel(p, x):
+    """Matern-3/2-enveloped cosine sum with sqrt(p^2) positivity
+    (kernelfit.py:36-51).  p = [bias, lengthscale, v_1..v_P, f_1..f_P]."""
+    p = jnp.asarray(p)
+    x = jnp.abs(jnp.asarray(x).reshape(-1))
+    npartials = (p.shape[0] - 2) // 2
+    ell = jnp.sqrt(p[1] * p[1])
+    k_env = (1.0 + jnp.sqrt(3.0) * x / ell) * jnp.exp(-jnp.sqrt(3.0) * x / ell)
+    v = jnp.sqrt(jnp.square(p[2:2 + npartials]))
+    f = jnp.sqrt(jnp.square(p[2 + npartials:2 + 2 * npartials]))
+    mix = jnp.sum(v[None, :] * jnp.cos(2.0 * jnp.pi * f[None, :] * x[:, None]), axis=1)
+    return k_env * mix
+
+
+def _rmse_loss(p, x, target):
+    return jnp.sqrt(jnp.mean(jnp.square(approximate_kernel(p, x) - target)))
+
+
+def fit_kernel(kern, audio, file_name, max_par: int, fs: float, num_steps: int = 250):
+    """Mirror of kernelfit.fit (kernelfit.py:61-87): init (f, v) from the FFT,
+    minimize RMSE to the sampled kernel, return [lengthscale, variances,
+    frequencies] plus the initial/fitted kernels."""
+    kern = np.asarray(kern).reshape(-1)
+    n = kern.size
+    xkern = np.linspace(0.0, (n - 1.0) / fs, n)
+
+    if0 = find_ideal_f0([file_name])[0]
+    init_f, init_v = init_cparam(np.asarray(audio).reshape(-1), fs=fs, maxh=max_par,
+                                 ideal_f0=if0, scaled=False)[0:2]
+    p0 = jnp.asarray(np.hstack([[0.0, 1.0], init_v, init_f]))
+
+    target = jnp.asarray(kern)
+    xj = jnp.asarray(xkern)
+    pstar, losses = fit_lbfgs(p0, lambda p: _rmse_loss(p, xj, target),
+                              num_steps=num_steps)
+    pstar = jnp.sqrt(jnp.square(pstar))  # kernelfit.py:57
+
+    npartials = (pstar.shape[0] - 2) // 2
+    params = [np.asarray(pstar[1]),
+              np.asarray(pstar[2:npartials + 2]),
+              np.asarray(pstar[npartials + 2:])]
+    kern_init = np.asarray(approximate_kernel(p0, xj))
+    kern_approx = np.asarray(approximate_kernel(pstar, xj))
+    return params, kern_init, kern_approx
+
+
+def gabor_sum(x, p):
+    """Sum of Gabor atoms v*exp(-|x|/l)*cos(2 pi f x) (kernelfit.py:7-16);
+    p reshaped to (P, 3) rows [v, l, f]."""
+    p = jnp.asarray(p).reshape(-1, 3)
+    x = jnp.asarray(x).reshape(-1)
+    v, l, f = p[:, 0], p[:, 1], p[:, 2]
+    atoms = v[None, :] * jnp.exp(-jnp.abs(x)[:, None] / l[None, :]) \
+        * jnp.cos(2.0 * jnp.pi * f[None, :] * x[:, None])
+    return jnp.sum(atoms, axis=1)
+
+
+def fit_kernel_gabor(kern, audio, file_name, max_par: int, fs: float,
+                     num_steps: int = 250):
+    """Gabor-sum variant (kernelfit.fit2, kernelfit.py:90-122)."""
+    kern = np.asarray(kern).reshape(-1)
+    n = kern.size
+    xkern = jnp.asarray(np.linspace(0.0, (n - 1.0) / fs, n))
+    if0 = find_ideal_f0([file_name])[0]
+    init_f, init_v = init_cparam(np.asarray(audio).reshape(-1), fs=fs, maxh=max_par,
+                                 ideal_f0=if0, scaled=False)[0:2]
+    p0 = jnp.asarray(np.stack([init_v, 0.1 * np.ones_like(init_v), init_f], 1).reshape(-1))
+    target = jnp.asarray(kern)
+    loss = lambda p: jnp.sqrt(jnp.mean(jnp.square(gabor_sum(xkern, p) - target)))
+    popt, _ = fit_lbfgs(p0, loss, num_steps=num_steps)
+    popt = jnp.sqrt(jnp.square(popt))
+    return (np.asarray(popt), np.asarray(gabor_sum(xkern, p0)),
+            np.asarray(gabor_sum(xkern, popt)))

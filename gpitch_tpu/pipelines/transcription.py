@@ -1,0 +1,132 @@
+"""Automatic music transcription pipeline (AMT equivalent).
+
+Rebuilds /root/reference/gpitch/transcription.py:10-329: per-pitch
+spectral-mixture kernels learned from isolated MAPS notes, windowed SGPR over
+the test piece with y*20 scaling (transcription.py:255-256), and the learned
+per-window per-pitch variance envelope ``matrix_var`` as the transcription /
+pianoroll estimate (transcription.py:286-288).  Window loop -> batched bank,
+as in separation.py here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..audio.pianoroll import Pianoroll
+from ..audio.windowing import window_stack
+from ..kernels import Sum
+from .init import init_kern_com, init_liv
+from .separation import learn_pitch_params
+from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
+                            pitch_variances)
+
+__all__ = ["AMT", "pianoroll_from_variances", "f_measure"]
+
+
+def pianoroll_from_variances(matrix_var, threshold: float = 0.02):
+    """Binary pianoroll estimate by thresholding the per-pitch variance
+    envelope (the reference leaves this to offline evaluation; matrix_var is
+    its raw output, transcription.py:286-288)."""
+    mv = np.asarray(matrix_var)
+    scale = mv.max() if mv.max() > 0 else 1.0
+    return (mv / scale > threshold).astype(float)
+
+
+def f_measure(est, ref):
+    """Frame-level precision/recall/F of binary piano rolls (the evaluation
+    defined by arXiv:1705.07104, README.md:5)."""
+    est = np.asarray(est).astype(bool)
+    ref = np.asarray(ref).astype(bool)
+    tp = np.sum(est & ref)
+    p = tp / max(np.sum(est), 1)
+    r = tp / max(np.sum(ref), 1)
+    f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return p, r, f
+
+
+class AMT:
+    """Windowed multi-pitch transcription (reference AMT).
+
+    Construct from arrays:
+        AMT(train_signals=[...], train_names=[...], fs=44100,
+            test=(x, y), pitches=[60, 64, ...])
+    """
+
+    def __init__(self, train_signals, train_names, fs, test, pitches,
+                 window_size: int = 2001, kernel_mode: str = "fft",
+                 max_par: int = 20, num_inducing: int | None = None,
+                 saved_params=None, reg: bool = False, dec: int = 3,
+                 y_scale: float = 20.0, pianoroll: Pianoroll | None = None):
+        self.fs = fs
+        self.pitches = list(pitches)
+        self.window_size = window_size
+        self.y_scale = y_scale
+        self.piano_roll = pianoroll
+
+        self.params, self.kern_sampled = learn_pitch_params(
+            train_signals, train_names, fs, mode=kernel_mode, max_par=max_par,
+            saved=saved_params)
+
+        self.x = np.asarray(test[0]).reshape(-1, 1)
+        self.y = np.asarray(test[1]).reshape(-1, 1)
+        self.xw = window_stack(self.x, window_size)
+        self.yw = window_stack(self.y, window_size)
+        self.nwin = self.xw.shape[0]
+
+        z_list = []
+        for i in range(self.nwin):
+            z, _ = init_liv(self.xw[i], self.yw[i], num_sources=1, dec=dec)
+            z_list.append(z[0][0])
+        self.z = pad_inducing(z_list, num_inducing)
+
+        self.reg = reg
+        self.bank = self._build_bank()
+        self.matrix_var = np.zeros((len(self.pitches), self.nwin))
+
+    def _kern_builder(self):
+        kerns = init_kern_com(len(self.pitches), self.params[0], self.params[1],
+                              self.params[2], len_fixed=False)
+        k = kerns[0]
+        for extra in kerns[1:]:
+            k = k + extra
+        return k if isinstance(k, Sum) else Sum(kern_list=(k,))
+
+    def _build_bank(self):
+        return build_window_bank(self.xw, self.yw, self.z, self._kern_builder,
+                                 noise_variance=1.0, reg=self.reg,
+                                 y_scale=self.y_scale)
+
+    def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
+                 method: str = "adam"):
+        """All windows in parallel (replaces transcription.py:265-298)."""
+        self.bank, losses = optimize_bank(self.bank, num_steps=maxiter,
+                                          learning_rate=learning_rate,
+                                          method=method)
+        self.matrix_var = np.asarray(pitch_variances(self.bank))
+        return losses
+
+    def pianoroll_estimate(self, threshold: float = 0.02):
+        return pianoroll_from_variances(self.matrix_var, threshold)
+
+    def evaluate(self, threshold: float = 0.02):
+        """Frame-level F-measure vs the ground-truth pianoroll, resampled to
+        the window rate."""
+        if self.piano_roll is None:
+            raise ValueError("no ground-truth pianoroll attached")
+        est = self.pianoroll_estimate(threshold)
+        gt = self.piano_roll
+        # sample ground truth at window centers for the pitches we model
+        ll = (self.window_size - 1) // 2
+        centers = (np.arange(self.nwin) * ll + self.window_size // 2) / self.fs
+        rows = []
+        for p in self.pitches:
+            g = gt.pr_dic[str(p)][:, 0]
+            idx = np.clip((centers * gt.fs).astype(int), 0, g.size - 1)
+            rows.append(g[idx])
+        ref = np.stack(rows)
+        return f_measure(est, ref)
+
+    def save_results(self, path):
+        np.savez(path, matrix_var=self.matrix_var,
+                 params_len=np.asarray(self.params[0], dtype=object),
+                 pitches=np.asarray(self.pitches))

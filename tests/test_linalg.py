@@ -1,0 +1,86 @@
+"""Conditional + KL checked against brute-force dense Gaussian algebra."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpitch_tpu.kernels import RBF, Matern32
+from gpitch_tpu.linalg import conditional, gauss_kl, safe_cholesky
+
+
+def _setup(rng, m=7, n=13):
+    Z = jnp.asarray(np.sort(rng.random(m)).reshape(-1, 1))
+    X = jnp.asarray(np.sort(rng.random(n)).reshape(-1, 1))
+    q_mu = jnp.asarray(rng.standard_normal((m, 1)))
+    A = rng.standard_normal((m, m)) * 0.3
+    q_sqrt = jnp.asarray(np.tril(A) + np.eye(m))
+    return Z, X, q_mu, q_sqrt
+
+
+def test_whitened_conditional_brute_force(rng):
+    kern = RBF.create(1.2, 0.3)
+    Z, X, q_mu, q_sqrt = _setup(rng)
+    mean, var = conditional(X, Z, kern, q_mu, q_sqrt, whiten=True, jitter=1e-10)
+
+    Kmm = np.asarray(kern.K(Z)) + 1e-10 * np.eye(Z.shape[0])
+    L = np.linalg.cholesky(Kmm)
+    Kmn = np.asarray(kern.K(Z, X))
+    A = np.linalg.solve(L, Kmn)
+    m_want = A.T @ np.asarray(q_mu)
+    S = np.asarray(q_sqrt) @ np.asarray(q_sqrt).T
+    v_want = (np.asarray(kern.Kdiag(X)) - np.sum(A * A, 0)
+              + np.einsum("mn,mk,kn->n", A, S, A))
+    np.testing.assert_allclose(mean, m_want, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var[:, 0], v_want, rtol=1e-7, atol=1e-10)
+
+
+def test_unwhitened_conditional_brute_force(rng):
+    kern = Matern32.create(0.8, 0.4)
+    Z, X, q_mu, q_sqrt = _setup(rng)
+    mean, var = conditional(X, Z, kern, q_mu, q_sqrt, whiten=False, jitter=1e-10)
+
+    Kmm = np.asarray(kern.K(Z)) + 1e-10 * np.eye(Z.shape[0])
+    Kmn = np.asarray(kern.K(Z, X))
+    Kinv = np.linalg.inv(Kmm)
+    m_want = Kmn.T @ Kinv @ np.asarray(q_mu)
+    S = np.asarray(q_sqrt) @ np.asarray(q_sqrt).T
+    B = Kinv @ Kmn
+    v_want = (np.asarray(kern.Kdiag(X)) - np.einsum("mn,mk,kn->n", Kmn, Kinv, Kmn)
+              + np.einsum("mn,mk,kn->n", B, S, B))
+    np.testing.assert_allclose(mean, m_want, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(var[:, 0], v_want, rtol=1e-6, atol=1e-9)
+
+
+def _kl_dense(m, S, K):
+    Kinv = np.linalg.inv(K)
+    return 0.5 * (np.trace(Kinv @ S) + m.T @ Kinv @ m
+                  - m.shape[0] + np.log(np.linalg.det(K)) -
+                  np.log(np.linalg.det(S)))[0, 0]
+
+
+def test_gauss_kl_whitened(rng):
+    m = 6
+    q_mu = rng.standard_normal((m, 1))
+    q_sqrt = np.tril(rng.standard_normal((m, m)) * 0.2) + np.eye(m)
+    S = q_sqrt @ q_sqrt.T
+    want = _kl_dense(q_mu, S, np.eye(m))
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt)))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_gauss_kl_with_prior_K(rng):
+    m = 6
+    q_mu = rng.standard_normal((m, 1))
+    q_sqrt = np.tril(rng.standard_normal((m, m)) * 0.2) + np.eye(m)
+    S = q_sqrt @ q_sqrt.T
+    A = rng.standard_normal((m, m))
+    K = A @ A.T + m * np.eye(m)
+    want = _kl_dense(q_mu, S, K)
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt), jnp.asarray(K),
+                         jitter=0.0))
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_safe_cholesky_jitter():
+    K = jnp.zeros((4, 4))
+    L = safe_cholesky(K, 1e-3)
+    np.testing.assert_allclose(L, np.sqrt(1e-3) * np.eye(4), rtol=1e-6)

@@ -1,0 +1,83 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, set in conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpitch_tpu.kernels import Matern12sm, Matern32, MercerMatern12sm, Sum
+from gpitch_tpu.models import ModGP
+from gpitch_tpu.parallel import (make_mesh, pad_bank_windows, shard_bank,
+                                 shard_leading_axis, shard_modgp_sources)
+from gpitch_tpu.pipelines import bank_loss, build_window_bank, optimize_bank
+
+
+def _tiny_bank(nw=8, ws=64, masks=True):
+    rng = np.random.default_rng(0)
+    xw = np.stack([np.linspace(0, 1, ws).reshape(-1, 1) + i for i in range(nw)])
+    yw = rng.standard_normal((nw, ws, 1)) * 0.3
+    zw = xw[:, ::8]
+
+    def builder():
+        return Sum(kern_list=(
+            Matern12sm.create(1.0, 0.2, [1.0], [8.0]),
+            Matern12sm.create(1.0, 0.3, [1.0], [16.0])))
+
+    m = np.ones((nw, ws)) if masks else None
+    return build_window_bank(xw, yw, zw, builder, masks=m)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_masked_padding_is_loss_free():
+    bank = _tiny_bank(nw=6)
+    loss0 = float(bank_loss(bank))
+    padded, nw = pad_bank_windows(bank, 8)
+    assert nw == 6
+    assert jax.tree_util.tree_leaves(padded)[0].shape[0] == 8
+    np.testing.assert_allclose(float(bank_loss(padded)), loss0, rtol=1e-12)
+    # gradients of padded windows' parameters must be zero
+    g = jax.grad(bank_loss)(padded)
+    gvar = g.variance.raw
+    np.testing.assert_allclose(np.asarray(gvar[6:]), 0.0, atol=1e-12)
+
+
+def test_sharded_bank_loss_matches_local():
+    bank = _tiny_bank(nw=8)
+    loss_local = float(bank_loss(bank))
+    mesh = make_mesh(8)
+    sharded, nw, _ = shard_bank(bank, mesh)
+    loss_sharded = float(jax.jit(bank_loss)(sharded))
+    np.testing.assert_allclose(loss_sharded, loss_local, rtol=1e-10)
+
+
+def test_sharded_training_step_matches_local():
+    bank = _tiny_bank(nw=8)
+    local, losses_local = optimize_bank(bank, num_steps=5, learning_rate=0.05)
+    mesh = make_mesh(8)
+    sharded = shard_leading_axis(bank, mesh)
+    dist, losses_dist = optimize_bank(sharded, num_steps=5, learning_rate=0.05)
+    np.testing.assert_allclose(np.asarray(losses_dist), np.asarray(losses_local),
+                               rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(local),
+                    jax.tree_util.tree_leaves(dist)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
+
+
+def test_modgp_source_sharding():
+    s = 8
+    z = np.linspace(0, 1, 6).reshape(-1, 1)
+    kern_act = [Matern32.create(1.0, 1.0) for _ in range(s)]
+    kern_com = [MercerMatern12sm.create(1.0, 0.5, [1.0], [10.0 * (i + 1)])
+                for i in range(s)]
+    model = ModGP.create(z=[[z] * s, [z] * s], kern=[kern_act, kern_com])
+    x = jnp.linspace(0, 1, 32).reshape(-1, 1)
+    y = jnp.zeros((32, 1))
+    loss_local = float(model.loss(x, y))
+    sharded, mesh = shard_modgp_sources(model)
+    loss_sharded = float(jax.jit(lambda m: m.loss(x, y))(sharded))
+    np.testing.assert_allclose(loss_sharded, loss_local, rtol=1e-9)

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests on small synthetic audio: kernel learning,
+3-source separation with RMSE, and AMT variance envelopes."""
+
+import numpy as np
+import pytest
+
+from gpitch_tpu.pipelines import (AMT, SoSp, approximate_kernel, autocorr,
+                                  fit_kernel, sample_cov)
+from gpitch_tpu.utils.math import midi2freq
+
+
+FS = 16000
+
+
+def _note(f0, n, env=None, partials=3, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / FS
+    sig = sum((0.6 ** k) * np.sin(2 * np.pi * f0 * (k + 1) * t)
+              for k in range(partials))
+    sig = sig / np.max(np.abs(sig))
+    if env is not None:
+        sig = sig * env
+    return sig.reshape(-1, 1) + 0.001 * rng.standard_normal((n, 1))
+
+
+def test_sample_cov_recovers_periodicity():
+    f0 = 200.0
+    y = _note(f0, FS, partials=1)
+    cov, kern, samples = sample_cov(y, num_sam=3000, size=160)
+    k = kern[:, 0]
+    assert k[0] == pytest.approx(1.0, abs=1e-9)
+    period = int(FS / f0)
+    assert k[period] > 0.7  # periodic covariance peak at one period
+
+
+def test_autocorr_periodicity():
+    y = _note(150.0, FS, partials=1)
+    r = autocorr(y, size=300)
+    period = int(FS / 150.0)
+    assert r[period] > 0.7
+
+
+def test_fit_kernel_recovers_frequency():
+    f0 = midi2freq(60)
+    y = _note(f0, 2 * FS, partials=2, seed=1)
+    _, kern, _ = sample_cov(y, num_sam=4000, size=441)
+    params, k_init, k_fit = fit_kernel(kern, y, "X_M60_test.wav", max_par=2, fs=FS)
+    lengthscale, variances, freqs = params
+    assert np.min(np.abs(freqs - f0)) < 5.0
+    # fitted kernel should approximate the sampled one better than the init
+    x = np.linspace(0, 440 / FS, 441)
+    p_fit = np.hstack([[0.0, lengthscale], variances, freqs])
+    rmse_fit = np.sqrt(np.mean((np.asarray(approximate_kernel(p_fit, x))
+                                - kern[:, 0]) ** 2))
+    assert rmse_fit < 0.7
+
+
+def _separation_fixture():
+    n = FS  # 1 s mixture
+    t = np.arange(n) / FS
+    f0s = [midi2freq(60), midi2freq(64), midi2freq(67)]
+    # distinct on/off envelopes per source
+    envs = [np.exp(-30 * (t - c) ** 2) for c in (0.25, 0.5, 0.75)]
+    train = [_note(f, FS, seed=i) for i, f in enumerate(f0s)]
+    sources = [_note(f, n, env=e, seed=10 + i)
+               for i, (f, e) in enumerate(zip(f0s, envs))]
+    mix = sum(sources)
+    x = np.arange(n).reshape(-1, 1) / FS
+    names = ["I_M60_t.wav", "I_M64_t.wav", "I_M67_t.wav"]
+    return train, names, (x, mix), sources
+
+
+@pytest.mark.slow
+def test_separation_end_to_end():
+    train, names, mixture, sources = _separation_fixture()
+    model = SoSp(train_signals=train, train_names=names, fs=FS, mixture=mixture,
+                 window_size=2001, kernel_mode="fft", max_par=3,
+                 num_inducing=48, dec=4)
+    losses = model.optimize(maxiter=200, learning_rate=0.02)
+    assert float(losses[-1]) < float(losses[0])
+    model.predict_s(batch_size=4)
+    rmse = model.compute_rmse([s for s in sources])
+    # the mixture has unit-scale sources; a working separation is well under 0.5
+    assert rmse < 0.35, rmse
+    # per-pitch variance envelope should peak in the right window region
+    mv = model.matrix_var  # (3, nw)
+    nw = mv.shape[1]
+    for i, c in enumerate((0.25, 0.5, 0.75)):
+        peak_win = np.argmax(mv[i])
+        center_time = (peak_win * 1000 + 1000) / FS
+        assert abs(center_time - c) < 0.2, (i, center_time)
+
+
+@pytest.mark.slow
+def test_amt_end_to_end():
+    train, names, mixture, sources = _separation_fixture()
+    model = AMT(train_signals=train, train_names=names, fs=FS, test=mixture,
+                pitches=[60, 64, 67], window_size=2001, kernel_mode="fft",
+                max_par=3, num_inducing=48, dec=4)
+    losses = model.optimize(maxiter=150, learning_rate=0.02)
+    assert float(losses[-1]) < float(losses[0])
+    mv = model.matrix_var
+    assert mv.shape == (3, model.nwin)
+    est = model.pianoroll_estimate(threshold=0.1)
+    assert est.shape == mv.shape
+    # each pitch active near its envelope center
+    for i, c in enumerate((0.25, 0.5, 0.75)):
+        peak_win = np.argmax(mv[i])
+        center_time = (peak_win * 1000 + 1000) / FS
+        assert abs(center_time - c) < 0.25, (i, center_time)

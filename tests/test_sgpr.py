@@ -1,0 +1,134 @@
+"""SGPR tests: Titsias bound vs dense GPR evidence (Z=X limit), masked-padding
+exactness (the property that enables batched windows), per-source prediction
+vs brute-force multi-output conditioning."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpitch_tpu.kernels import Matern12sm, Matern32, RBF
+from gpitch_tpu.models import GPR, SGPR, SGPRSS, fit_lbfgs
+
+
+def _data(rng, n=30):
+    x = np.sort(rng.random((n, 1)), axis=0)
+    y = np.sin(6 * x) + 0.1 * rng.standard_normal((n, 1))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_gpr_log_marginal_matches_formula(rng):
+    x, y = _data(rng, 20)
+    kern = RBF.create(1.0, 0.3)
+    m = GPR.create(x, y, kern, noise_variance=0.05)
+    K = np.asarray(kern.K(x)) + 0.05 * np.eye(20) + m.numerics.jitter_value() * np.eye(20)
+    _, logdet = np.linalg.slogdet(K)
+    want = -0.5 * (np.asarray(y).T @ np.linalg.inv(K) @ np.asarray(y))[0, 0] \
+        - 0.5 * logdet - 0.5 * 20 * np.log(2 * np.pi)
+    np.testing.assert_allclose(float(m.log_marginal_likelihood()), want, rtol=1e-8)
+
+
+def test_gpr_predict_interpolates(rng):
+    # evenly spaced inputs: near-duplicate random points cannot be
+    # interpolated through observation noise
+    x = jnp.asarray(np.linspace(0, 1, 25).reshape(-1, 1))
+    y = jnp.sin(6 * x) + 0.1 * jnp.asarray(rng.standard_normal((25, 1)))
+    m = GPR.create(x, y, RBF.create(1.0, 0.2), noise_variance=1e-5)
+    mean, var = m.predict_f(x)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(y), atol=2e-2)
+    assert (np.asarray(var) >= -1e-9).all()
+
+
+def test_sgpr_bound_tight_when_z_equals_x(rng):
+    """Titsias bound equals exact evidence at Z = X."""
+    x, y = _data(rng, 25)
+    kern = Matern32.create(1.0, 0.3)
+    gpr = GPR.create(x, y, kern, noise_variance=0.05)
+    sgpr = SGPR.create(x, y, kern, Z=np.asarray(x), noise_variance=0.05)
+    np.testing.assert_allclose(float(sgpr.elbo()), float(gpr.log_marginal_likelihood()),
+                               rtol=1e-4)
+
+
+def test_sgpr_bound_is_lower_bound(rng):
+    x, y = _data(rng, 40)
+    kern = Matern32.create(1.0, 0.3)
+    gpr = GPR.create(x, y, kern, noise_variance=0.05)
+    z = np.asarray(x)[::4]
+    sgpr = SGPR.create(x, y, kern, Z=z, noise_variance=0.05)
+    assert float(sgpr.elbo()) <= float(gpr.log_marginal_likelihood()) + 1e-6
+
+
+def test_masked_bound_equals_unpadded(rng):
+    """Zero-padding plus mask must reproduce the unpadded bound exactly —
+    the property that lets pipelines vmap ragged windows (SURVEY.md section 7)."""
+    x, y = _data(rng, 30)
+    kern = Matern32.create(1.0, 0.3)
+    z = np.asarray(x)[::3]
+    plain = SGPR.create(x, y, kern, Z=z, noise_variance=0.1)
+
+    pad = 10
+    xp = jnp.concatenate([x, jnp.zeros((pad, 1))], 0)
+    yp = jnp.concatenate([y, jnp.zeros((pad, 1))], 0)
+    mask = jnp.concatenate([jnp.ones(30), jnp.zeros(pad)])
+    masked = SGPR.create(xp, yp, kern, Z=z, noise_variance=0.1, mask=mask)
+    np.testing.assert_allclose(float(masked.elbo()), float(plain.elbo()), rtol=1e-10)
+
+
+def test_sgprss_predict_sources_brute_force(rng):
+    """Per-source posterior vs dense joint-Gaussian conditioning:
+    s_i* | y ~ N(K_i*x (K+s2 I)^-1 y, K_i** - K_i*x (K+s2I)^-1 K_ix*)."""
+    n, m = 25, 25
+    x = jnp.asarray(np.sort(rng.random((n, 1)), axis=0))
+    k1 = Matern12sm.create(1.0, 0.2, [1.0], [8.0])
+    k2 = Matern12sm.create(1.0, 0.3, [1.0], [16.0])
+    kern = k1 + k2
+    y = jnp.asarray(rng.standard_normal((n, 1)))
+    model = SGPRSS.create(x, y, kern, Z=np.asarray(x), noise_variance=0.1)
+    xnew = jnp.asarray(np.linspace(0, 1, 15).reshape(-1, 1))
+    means, variances = model.predict_s(xnew)
+
+    Kxx = np.asarray(kern.K(x)) + (0.1 + model.numerics.jitter_value()) * np.eye(n)
+    Kinv = np.linalg.inv(Kxx)
+    for i, ki in enumerate([k1, k2]):
+        Kix = np.asarray(ki.K(x, xnew))
+        m_want = Kix.T @ Kinv @ np.asarray(y)
+        v_want = np.asarray(ki.Kdiag(xnew)) - np.einsum("nm,nk,km->m", Kix, Kinv, Kix)
+        np.testing.assert_allclose(np.asarray(means[i]), m_want, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(variances[i])[:, 0], v_want,
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_sgprss_sources_sum_to_mixture(rng):
+    """Sum of per-source posterior means equals the mixture posterior mean."""
+    n = 20
+    x = jnp.asarray(np.sort(rng.random((n, 1)), axis=0))
+    k1 = Matern12sm.create(1.0, 0.2, [1.0], [5.0])
+    k2 = Matern12sm.create(1.0, 0.25, [1.0], [11.0])
+    y = jnp.asarray(rng.standard_normal((n, 1)))
+    model = SGPRSS.create(x, y, k1 + k2, Z=np.asarray(x), noise_variance=0.05)
+    means, _ = model.predict_s(x)
+    total = np.asarray(means[0]) + np.asarray(means[1])
+    # dense posterior mean of f = K (K + s2 I)^-1 y
+    K = np.asarray((k1 + k2).K(x))
+    mix = K @ np.linalg.inv(K + (0.05 + model.numerics.jitter_value()) * np.eye(n)) @ np.asarray(y)
+    np.testing.assert_allclose(total, mix, rtol=1e-5, atol=1e-7)
+
+
+def test_sgpr_reg_l1_penalty(rng):
+    x, y = _data(rng, 20)
+    k1 = Matern12sm.create(1.0, 0.2, [1.0], [5.0])
+    k2 = Matern12sm.create(1.0, 0.25, [1.0], [11.0])
+    z = np.asarray(x)[::2]
+    plain = SGPRSS.create(x, y, k1 + k2, Z=z, noise_variance=0.1)
+    reg = SGPRSS.create(x, y, k1 + k2, Z=z, noise_variance=0.1, reg=True)
+    # beta * (|v1| + |v2|) = 1000 * 2 at unit variances (sgpr_ss.py:64-68)
+    np.testing.assert_allclose(float(plain.elbo()) - float(reg.elbo()), 2000.0,
+                               rtol=1e-6)
+
+
+def test_lbfgs_improves_bound(rng):
+    x, y = _data(rng, 40)
+    kern = Matern32.create(1.0, 1.0)
+    z = np.asarray(x)[::4]
+    model = SGPR.create(x, y, kern, Z=z, noise_variance=1.0)
+    loss0 = float(model.loss())
+    model2, losses = fit_lbfgs(model, lambda m: m.loss(), num_steps=40)
+    assert float(model2.loss()) < loss0 - 1.0

@@ -1,0 +1,109 @@
+"""ModGP (Pdgp equivalent) tests: ELBO sanity, conditional consistency,
+training step, and a fast synthetic-recovery check (the reference's
+demo-as-test, demos/scripts/demo-modgp.py:19-71, shrunk)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpitch_tpu as gt
+from gpitch_tpu.kernels import Matern32, MercerMatern12sm
+from gpitch_tpu.models import ModGP, fit_adam, minibatch_fn, predict_windowed
+
+
+def make_model(s=1, m=10, whiten=True):
+    z = np.linspace(0.0, 1.0, m).reshape(-1, 1)
+    kern_act = [Matern32.create(1.0, 1.0) for _ in range(s)]
+    kern_com = [MercerMatern12sm.create(1.0, 0.5, [1.0, 0.5], [10.0 * (i + 1), 20.0 * (i + 1)])
+                for i in range(s)]
+    model = ModGP.create(z=[[z] * s, [z] * s], kern=[kern_act, kern_com],
+                         whiten=whiten)
+    return model
+
+
+def synth_data(n=400, noise=1e-3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 1.0, n).reshape(-1, 1)
+    comp = sum(np.sin(2 * np.pi * x * k * 10.0) for k in range(1, 3))
+    comp /= np.max(np.abs(comp))
+    env = np.exp(-25 * (x - 0.33) ** 2) + np.exp(-75 * (x - 0.66) ** 2)
+    env /= np.max(np.abs(env))
+    y = comp * env + np.sqrt(noise) * rng.standard_normal((n, 1))
+    return jnp.asarray(x), jnp.asarray(y), comp, env
+
+
+@pytest.mark.parametrize("s", [1, 2])
+@pytest.mark.parametrize("whiten", [True, False])
+def test_elbo_finite_and_kl_nonnegative(s, whiten):
+    model = make_model(s=s, whiten=whiten)
+    x, y, _, _ = synth_data(100)
+    elbo = float(model.elbo(x, y))
+    assert np.isfinite(elbo)
+    assert float(model.prior_kl()) >= -1e-8
+
+
+def test_initial_kl_zero_whitened():
+    # q = N(0, I) against whitened prior N(0, I) -> KL = 0 (pdgp.py:99-103 init)
+    model = make_model(s=2, whiten=True)
+    np.testing.assert_allclose(float(model.prior_kl()), 0.0, atol=1e-10)
+
+
+def test_bank_matches_direct_conditional():
+    from gpitch_tpu.linalg import conditional
+    model = make_model(s=2)
+    x = jnp.linspace(0, 1, 37).reshape(-1, 1)
+    mean, var = model.predict_com(x)
+    for i in range(2):
+        kern_i = jax.tree_util.tree_map(lambda a: a[i], model.kern_com)
+        m_i, v_i = conditional(x, model.zc.value[i], kern_i,
+                               model.q_mu_com.value[i], model.q_sqrt_com.value[i],
+                               whiten=True, jitter=model.numerics.jitter_value())
+        np.testing.assert_allclose(mean[:, i], m_i[:, 0], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(var[:, i], v_i[:, 0], rtol=1e-7, atol=1e-9)
+
+
+def test_elbo_is_lower_bound_after_training():
+    """ELBO should increase under Adam and stay finite."""
+    model = make_model(s=1, m=12)
+    x, y, _, _ = synth_data(200)
+    loss0 = float(model.loss(x, y))
+    model2, losses = fit_adam(model, lambda m, xb, yb: m.loss(xb, yb, num_data=200),
+                              num_steps=60, learning_rate=0.05,
+                              batch_fn=minibatch_fn(x, y, 64))
+    assert float(losses[-1]) < loss0
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_predict_act_n_com_shapes():
+    model = make_model(s=3)
+    x = jnp.linspace(0, 1, 50).reshape(-1, 1)
+    ma, va, mc, vc, ms = model.predict_act_n_com(x)
+    for arr in (ma, va, mc, vc, ms):
+        assert arr.shape == (50, 3)
+    assert (np.asarray(va) > 0).all() and (np.asarray(vc) > 0).all()
+
+
+def test_predict_windowed_matches_direct():
+    model = make_model(s=1)
+    x = jnp.linspace(0, 1, 64).reshape(-1, 1)
+    direct = model.predict_act_n_com(x)
+    chunked = predict_windowed(model, x, ws=16)
+    for d, c in zip(direct, chunked):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-6, atol=1e-8)
+
+
+def test_synthetic_recovery_small():
+    """Shrunk demo-modgp: posterior source estimate must track the signal."""
+    x, y, comp, env = synth_data(n=600, noise=1e-4)
+    z = np.asarray(x)[::30].reshape(-1, 1)
+    kern_act = [Matern32.create(1.0, 1.0)]
+    kern_com = [MercerMatern12sm.create(1.0, 0.5, [1.0, 1.0], [10.0, 20.0])]
+    model = ModGP.create(z=[[z], [z]], kern=[kern_act, kern_com])
+    model, losses = fit_adam(model, lambda m, xb, yb: m.loss(xb, yb, num_data=600),
+                             num_steps=400, learning_rate=0.02,
+                             batch_fn=minibatch_fn(x, y, 128))
+    ms = model.predict_source(x)
+    err = np.sqrt(np.mean((np.asarray(ms)[:, 0:1] - np.asarray(y)) ** 2))
+    assert err < 0.25, f"recovery RMSE too high: {err}"
+    assert float(losses[-1]) < float(losses[0])
