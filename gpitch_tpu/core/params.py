@@ -116,7 +116,9 @@ def zero_untrainable_grads(grads: Any) -> Any:
     from the gradient tree itself.
     """
 
-    def mask(p: Param) -> Param:
+    def mask(p):
+        if not isinstance(p, Param):
+            return p  # plain array leaf (data buffer / raw vector): untouched
         if p.trainable:
             return p
         return Param(jax.tree_util.tree_map(jnp.zeros_like, p.raw), p.transform, p.trainable)

@@ -90,13 +90,18 @@ def fit_adam(model, loss_fn: Callable, num_steps: int, learning_rate: float = 0.
 
 
 def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,
-              tol: float = 0.0):
+              grad_tol: float = 1e-9):
     """L-BFGS with zoom linesearch over the full model pytree.
 
     Replaces the scipy L-BFGS-B the reference uses for the per-window
     separation/AMT optimizations (separation.py:298) — here the whole solver
     runs on-device inside one jit.  loss_fn(model) -> scalar.
     Returns (model, losses).
+
+    Iterations freeze once the (masked) gradient norm drops below ``grad_tol``
+    or an update goes non-finite: running the zoom linesearch on an exactly
+    flat objective produces unbounded steps, so a fixed-length scan needs this
+    guard (scipy's L-BFGS-B stops on the same criterion).
     """
     optimizer = optax.lbfgs(memory_size=memory_size)
 
@@ -113,10 +118,19 @@ def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int 
             m, st = carry
             value, grads = value_and_grad(m, state=st)
             grads = zero_untrainable_grads(grads)
-            updates, st = optimizer.update(grads, st, m, value=value, grad=grads,
-                                           value_fn=masked_loss)
-            m = optax.apply_updates(m, updates)
-            return (m, st), value
+            updates, st2 = optimizer.update(grads, st, m, value=value, grad=grads,
+                                            value_fn=masked_loss)
+            m2 = optax.apply_updates(m, updates)
+            gnorm = optax.global_norm(grads)
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(u)) for u in jax.tree_util.tree_leaves(updates)]))
+            ok = (gnorm > grad_tol) & finite
+
+            def pick(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+
+            return (pick(m2, m), pick(st2, st)), value
 
         (m, _), losses = jax.lax.scan(body, (model, opt_state), None,
                                       length=num_steps)

@@ -104,8 +104,13 @@ class SGPR:
                    X=Param.create(X, trainable=False),
                    Y=Param.create(Y, trainable=False),
                    Z=Param.create(jnp.asarray(Z).reshape(-1, 1), trainable=False),
-                   mask=None if mask is None else jnp.asarray(mask),
+                   mask=None if mask is None else Param.create(jnp.asarray(mask),
+                                                               trainable=False),
                    reg=reg, numerics=numerics)
+
+    @property
+    def mask_value(self):
+        return None if self.mask is None else self.mask.value
 
     # ------------------------------------------------------------- bound
     def _common(self):
@@ -115,9 +120,10 @@ class SGPR:
         kdiag = self.kern.Kdiag(x)
         kuf = self.kern.K(z, x)
         if self.mask is not None:
-            err = err * self.mask[:, None]
-            kdiag = kdiag * self.mask
-            kuf = kuf * self.mask[None, :]
+            mv = self.mask_value
+            err = err * mv[:, None]
+            kdiag = kdiag * mv
+            kuf = kuf * mv[None, :]
         kuu = self.kern.K(z)
         L = safe_cholesky(kuu, self.numerics.jitter_value())
         A = solve_lower(L, kuf) / jnp.sqrt(sigma2)
@@ -131,7 +137,7 @@ class SGPR:
     def elbo(self):
         """The collapsed bound, term-for-term sgpr_ss.py:56-62."""
         err, kdiag, _, _, AAT, LB, c, sigma2 = self._common()
-        num_data = (jnp.sum(self.mask) if self.mask is not None
+        num_data = (jnp.sum(self.mask_value) if self.mask is not None
                     else jnp.asarray(err.shape[0], err.dtype))
         outdim = err.shape[1]
         bound = -0.5 * num_data * outdim * _LOG2PI
@@ -184,7 +190,7 @@ class SGPRSS(SGPR):
         sigma2 = self.variance.value
         kxx = self.kern.K(x)
         if self.mask is not None:
-            m = self.mask
+            m = self.mask_value
             # padded rows/cols become unit-diagonal noise, decoupled from data
             kxx = kxx * (m[:, None] * m[None, :])
             y = y * m[:, None]
@@ -197,7 +203,7 @@ class SGPRSS(SGPR):
         for k in kerns:
             kx = k.K(x, Xnew)
             if self.mask is not None:
-                kx = kx * self.mask[:, None]
+                kx = kx * self.mask_value[:, None]
             A = solve_lower(L, kx)
             means.append(A.T @ V)
             svar = k.Kdiag(Xnew) - jnp.sum(jnp.square(A), 0)

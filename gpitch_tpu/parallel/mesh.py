@@ -77,7 +77,8 @@ def pad_bank_windows(bank, multiple: int):
         return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
 
     padded = jax.tree_util.tree_map(pad_leaf, bank)
-    mask = padded.mask.at[nw:].set(0.0)
+    mask = padded.mask
+    mask = mask.with_value(mask.value.at[nw:].set(0.0))
     return padded.replace(mask=mask), nw
 
 

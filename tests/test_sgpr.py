@@ -27,13 +27,13 @@ def test_gpr_log_marginal_matches_formula(rng):
 
 
 def test_gpr_predict_interpolates(rng):
-    # evenly spaced inputs: near-duplicate random points cannot be
-    # interpolated through observation noise
+    # smooth target: a GP mean interpolates functions representable by the
+    # kernel (white noise never is, regardless of the noise variance)
     x = jnp.asarray(np.linspace(0, 1, 25).reshape(-1, 1))
-    y = jnp.sin(6 * x) + 0.1 * jnp.asarray(rng.standard_normal((25, 1)))
+    y = jnp.sin(6 * x)
     m = GPR.create(x, y, RBF.create(1.0, 0.2), noise_variance=1e-5)
     mean, var = m.predict_f(x)
-    np.testing.assert_allclose(np.asarray(mean), np.asarray(y), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(y), atol=5e-3)
     assert (np.asarray(var) >= -1e-9).all()
 
 
