@@ -15,7 +15,8 @@ import numpy as np
 
 from ..config import default_float
 
-__all__ = ["hermgauss", "gauss_hermite_moments", "expectation_gaussian_nonlin"]
+__all__ = ["hermgauss", "gauss_hermite_moments", "expectation_gaussian_nonlin",
+           "mvhermgauss"]
 
 
 @lru_cache(maxsize=None)
@@ -45,6 +46,26 @@ def gauss_hermite_moments(mean, var, nlinfun, h: int = 20):
     e1 = jnp.einsum("...h,h->...", f, gh_w)
     e2 = jnp.einsum("...h,h->...", f * f, gh_w)
     return e1, e2
+
+
+def mvhermgauss(means, covs, h: int, d: int):
+    """Multivariate H^D-point Gauss-Hermite grid (reference likelihoods.py:11-30,
+    the legacy full-grid path of LooLik/ModLik).
+
+    means: (N, D); covs: (N, D, D).  Returns (eval_locations (H^D, N, D),
+    weights (H^D,)) such that E[f(x)] ~= sum_k w_k f(X[k]).
+    """
+    import itertools
+    dtype = jnp.result_type(means)
+    raw_x, raw_w = np.polynomial.hermite.hermgauss(h)
+    xn = np.array(list(itertools.product(*(raw_x,) * d)))          # (H^D, D)
+    wn = np.prod(np.array(list(itertools.product(*(raw_w,) * d))), 1)
+    chol = jnp.linalg.cholesky(covs)                               # (N, D, D)
+    # X[n] = sqrt(2) * L_n @ xn^T + mean_n  -> (N, D, H^D)
+    X = np.sqrt(2.0) * jnp.einsum("nde,ke->ndk", chol, jnp.asarray(xn, dtype)) \
+        + means[..., None]
+    Xr = jnp.transpose(X, (2, 0, 1))                               # (H^D, N, D)
+    return Xr, jnp.asarray(wn * np.pi ** (-0.5 * d), dtype)
 
 
 def expectation_gaussian_nonlin(mean, var, nlinfun, h: int = 20):

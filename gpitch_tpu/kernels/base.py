@@ -62,6 +62,11 @@ class Kernel:
     def __add__(self, other):
         return Sum(kern_list=_flatten_combination(self, other, Sum))
 
+    def __radd__(self, other):
+        if other == 0:  # support sum([...]) / np.sum over kernel lists,
+            return self  # the reference's np.sum(kern_pitches) idiom
+        return Sum(kern_list=_flatten_combination(other, self, Sum))
+
     def __mul__(self, other):
         return Product(kern_list=_flatten_combination(self, other, Product))
 

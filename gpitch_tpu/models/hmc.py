@@ -1,0 +1,133 @@
+"""Hamiltonian Monte Carlo over model hyperparameters.
+
+The project north star (BASELINE.json) calls for optional HMC/NUTS over kernel
+hyperparameters with per-chain vectorized leapfrog.  This module provides a
+jit-compiled HMC with dual-averaging step-size adaptation; chains are a vmapped
+batch axis, so C chains cost one chain's wall-clock on TPU.  Works on any
+pytree of unconstrained parameters (Param raws), e.g. a ModGP's kernel hypers
+with the variational banks held fixed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["hmc_sample", "model_logprob_fn"]
+
+
+class _DAState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    step: jnp.ndarray
+
+
+def _leapfrog(logprob_grad, q, p, eps, num_steps):
+    def body(i, carry):
+        q, p = carry
+        _, g = logprob_grad(q)
+        p = jax.tree_util.tree_map(lambda p_, g_: p_ + 0.5 * eps * g_, p, g)
+        q = jax.tree_util.tree_map(lambda q_, p_: q_ + eps * p_, q, p)
+        _, g = logprob_grad(q)
+        p = jax.tree_util.tree_map(lambda p_, g_: p_ + 0.5 * eps * g_, p, g)
+        return q, p
+
+    return jax.lax.fori_loop(0, num_steps, body, (q, p))
+
+
+def _tree_randn_like(key, tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape, l.dtype)
+                  for k, l in zip(keys, leaves)])
+
+
+def _kinetic(p):
+    return 0.5 * sum(jnp.sum(jnp.square(l)) for l in jax.tree_util.tree_leaves(p))
+
+
+def hmc_sample(logprob_fn: Callable, init_params, key, num_samples: int = 500,
+               num_warmup: int = 200, num_leapfrog: int = 16,
+               init_step_size: float = 0.01, target_accept: float = 0.8,
+               num_chains: int = 4, jitter_init: float = 0.1):
+    """Run ``num_chains`` vectorized HMC chains.
+
+    logprob_fn(params_pytree) -> scalar log density (unnormalized).
+    Returns (samples pytree with leading (num_chains, num_samples) axes,
+    accept_rate (num_chains,)).
+    """
+    logprob_grad = jax.value_and_grad(logprob_fn)
+
+    def one_chain(key, q0):
+        def hmc_step(q, key, eps):
+            k1, k2 = jax.random.split(key)
+            p0 = _tree_randn_like(k1, q)
+            lp0, _ = logprob_grad(q)
+            h0 = -lp0 + _kinetic(p0)
+            q1, p1 = _leapfrog(logprob_grad, q, p0, eps, num_leapfrog)
+            lp1, _ = logprob_grad(q1)
+            h1 = -lp1 + _kinetic(p1)
+            log_alpha = jnp.minimum(0.0, h0 - h1)
+            log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
+            accept = jnp.log(jax.random.uniform(k2)) < log_alpha
+            q_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), q1, q)
+            return q_new, jnp.exp(log_alpha), accept
+
+        # warmup with dual averaging (Hoffman & Gelman 2014, alg. 5 constants)
+        mu = jnp.log(10.0 * init_step_size)
+        da0 = _DAState(jnp.log(init_step_size), jnp.log(init_step_size),
+                       jnp.asarray(0.0), jnp.asarray(0.0))
+
+        def warm_body(carry, k):
+            q, da = carry
+            q, alpha, _ = hmc_step(q, k, jnp.exp(da.log_eps))
+            t = da.step + 1.0
+            h_avg = (1.0 - 1.0 / (t + 10.0)) * da.h_avg \
+                + (target_accept - alpha) / (t + 10.0)
+            log_eps = mu - jnp.sqrt(t) / 0.05 * h_avg
+            w = t ** -0.75
+            log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
+            return (q, _DAState(log_eps, log_eps_avg, h_avg, t)), None
+
+        keys_w = jax.random.split(key, num_warmup + num_samples + 1)
+        (q, da), _ = jax.lax.scan(warm_body, (q0, da0), keys_w[:num_warmup])
+        eps = jnp.exp(da.log_eps_avg)
+
+        def samp_body(q, k):
+            q, _, accept = hmc_step(q, k, eps)
+            return q, (q, accept)
+
+        _, (samples, accepts) = jax.lax.scan(samp_body, q,
+                                             keys_w[num_warmup:-1])
+        return samples, jnp.mean(accepts.astype(jnp.float32))
+
+    keys = jax.random.split(key, num_chains + 1)
+    inits = jax.vmap(lambda k: jax.tree_util.tree_map(
+        lambda x: x + jitter_init * jax.random.normal(k, x.shape, x.dtype),
+        init_params))(keys[1:])
+    samples, rates = jax.jit(jax.vmap(one_chain))(keys[1:], inits)
+    return samples, rates
+
+
+def model_logprob_fn(model, loss_leaves: Callable, x=None, y=None,
+                     num_data=None, prior_scale: float = 10.0):
+    """Build logprob(raw_leaves) = ELBO(model with leaves) + N(0, prior_scale)
+    prior on the unconstrained hypers.
+
+    loss_leaves(model, leaves) -> model with the hyper leaves substituted;
+    typical use selects kernel hypers (see tests/test_hmc.py).
+    """
+
+    def logprob(leaves):
+        m = loss_leaves(model, leaves)
+        elbo = m.elbo(x, y, num_data) if x is not None else -m.loss()
+        prior = -0.5 * sum(jnp.sum(jnp.square(l / prior_scale))
+                           for l in jax.tree_util.tree_leaves(leaves))
+        return elbo + prior
+
+    return logprob

@@ -75,6 +75,7 @@ class ModGP:
     num_sources: int = static_field(1)
     stacked_act: bool = static_field(True)
     stacked_com: bool = static_field(True)
+    join_banks: bool = static_field(True)
     numerics: NumericsConfig = static_field(NumericsConfig())
 
     # ------------------------------------------------------------------ init
@@ -117,6 +118,47 @@ class ModGP:
         )
 
     # ------------------------------------------------------- conditionals
+    def _can_join(self):
+        """Joint act+com batching needs equal inducing counts and stacked
+        kernel banks; the linalg then runs as ONE (2S, M, M) batched
+        Cholesky/solve instead of two sequential bank pipelines — small-matrix
+        Cholesky is latency-bound on TPU, so halving the sequential chain is
+        nearly a 2x on the SVGP step."""
+        return (self.join_banks and self.stacked_act and self.stacked_com
+                and self.za.raw.shape[1] == self.zc.raw.shape[1])
+
+    def _banks_joint(self, xnew):
+        """(mean, var) each (N, 2S), columns [act..., com...]."""
+        jitter = self.numerics.jitter_value()
+        za, zc = self.za.value, self.zc.value
+
+        def gram(kern, z):
+            return jax.vmap(lambda k, zi: k.K(zi))(kern, z)
+
+        def cross(kern, z):
+            return jax.vmap(lambda k, zi: k.K(zi, xnew))(kern, z)
+
+        def diag(kern):
+            return jax.vmap(lambda k: k.Kdiag(xnew))(kern)
+
+        kmm = jnp.concatenate([gram(self.kern_act, za), gram(self.kern_com, zc)])
+        kmn = jnp.concatenate([cross(self.kern_act, za), cross(self.kern_com, zc)])
+        knn = jnp.concatenate([diag(self.kern_act), diag(self.kern_com)])
+        q_mu = jnp.concatenate([self.q_mu_act.value, self.q_mu_com.value])
+        q_sqrt = jnp.concatenate([self.q_sqrt_act.value, self.q_sqrt_com.value])
+
+        lm = jnp.linalg.cholesky(
+            kmm + jitter * jnp.eye(kmm.shape[-1], dtype=kmm.dtype))
+        a = jax.scipy.linalg.solve_triangular(lm, kmn, lower=True)  # (2S, M, N)
+        fvar = knn - jnp.sum(jnp.square(a), axis=1)                 # (2S, N)
+        if not self.whiten:
+            a = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(lm, -1, -2), a, lower=False)
+        fmean = jnp.einsum("bmn,bmq->bnq", a, q_mu)[..., 0]         # (2S, N)
+        lta = jnp.einsum("bkm,bkn->bmn", jnp.tril(q_sqrt), a)
+        fvar = fvar + jnp.sum(jnp.square(lta), axis=1)
+        return fmean.T, fvar.T                                      # (N, 2S)
+
     def _bank(self, which: str, xnew):
         """Marginal q(f) for all sources of one bank -> mean, var (N, S)."""
         if which == "act":
@@ -165,10 +207,13 @@ class ModGP:
 
     def elbo(self, x, y, num_data: int | None = None):
         """Minibatch-scaled ELBO (pdgp.py:133-170 build_likelihood)."""
-        mean_a, var_a = self._bank("act", x)
-        mean_c, var_c = self._bank("com", x)
-        fmu = jnp.concatenate([mean_a, mean_c], axis=1)   # (N, 2S)
-        fvar = jnp.concatenate([var_a, var_c], axis=1)
+        if self._can_join():
+            fmu, fvar = self._banks_joint(x)
+        else:
+            mean_a, var_a = self._bank("act", x)
+            mean_c, var_c = self._bank("com", x)
+            fmu = jnp.concatenate([mean_a, mean_c], axis=1)   # (N, 2S)
+            fvar = jnp.concatenate([var_a, var_c], axis=1)
         var_exp = self.likelihood.variational_expectations(fmu, fvar, y)
         n = x.shape[0]
         scale = 1.0 if num_data is None else num_data / n

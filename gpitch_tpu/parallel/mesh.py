@@ -25,7 +25,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_leading_axis", "replicate", "pad_bank_windows",
-           "shard_bank", "shard_modgp_sources"]
+           "shard_bank", "shard_modgp_sources", "init_multihost"]
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Multi-host initialization (jax.distributed) — the cross-host half of the
+    scaling plan (SURVEY.md section 5: mesh over {hosts x chips}).  No-op when
+    arguments are absent and no cluster env is detected."""
+    import jax
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()  # env/TPU-metadata autodetect
+    except Exception:
+        return False  # single-process fallback
+    return True
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "w",

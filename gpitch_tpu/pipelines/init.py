@@ -16,7 +16,8 @@ from ..kernels import (Matern12, Matern32, Matern52, Matern32sm, MercerCosMix,
 from ..utils.math import find_ideal_f0
 
 __all__ = ["init_liv", "init_iv", "init_kernel_training", "init_kern_act",
-           "init_kern_com", "init_kern", "init_kern_mercer_product"]
+           "init_kern_com", "init_kern", "init_kern_mercer_product",
+           "init_kernel_with_trained_models"]
 
 
 def _smooth(y, win):
@@ -76,6 +77,45 @@ def init_kernel_training(y, list_files, fs, maxh: int = 25):
                                frequencies=p[0])
         kern_com.append(kc.vars_n_freqs_fixed(fix_var=True, fix_freq=False))
     return [kern_act, kern_com], iparam
+
+
+def init_kernel_with_trained_models(models, option_two: bool = False):
+    """Transfer hyperparameters from trained single-pitch ModGP models into
+    fresh detection kernels (init_models.py:92-120).
+
+    ``option_two`` uses the fixed fallback hypers of init_models.py:106-108.
+    Returns [kern_act list, kern_com list] with component vars fixed and
+    frequencies trainable (init_models.py:103).
+    """
+    kern_act, kern_com = [], []
+    for m in models:
+        # ModGP stores stacked per-source kernel banks; scalar hypers are read
+        # from source 0 via reshape(-1)[0], per-partial arrays via reshape(-1)
+        src_act = m.kern_act if not isinstance(m.kern_act, (list, tuple)) else m.kern_act[0]
+        src_com = m.kern_com if not isinstance(m.kern_com, (list, tuple)) else m.kern_com[0]
+        if option_two:
+            ka = Matern12.create(variance=4.0, lengthscales=0.5)
+            lc = 1.0
+        else:
+            ka = Matern12.create(
+                variance=float(np.asarray(src_act.variance.value).reshape(-1)[0]),
+                lengthscales=float(np.asarray(src_act.lengthscales.value).reshape(-1)[0]))
+            lc = float(np.asarray(src_com.lengthscales.value).reshape(-1)[0])
+        freqs = np.asarray(src_com.frequency.value).reshape(-1)
+        if hasattr(src_com, "energy"):
+            vars_ = np.asarray(src_com.energy.value).reshape(-1)
+            kc = MercerMatern12sm.create(variance=1.0, lengthscales=lc,
+                                         energy=vars_, frequency=freqs,
+                                         train_energy=False, train_frequency=True)
+        else:
+            vars_ = np.clip(np.asarray(src_com.variance.value).reshape(-1),
+                            1e-4, 0.2495)
+            kc = Matern32sm.create(lengthscales=lc, variances=vars_,
+                                   frequencies=freqs, train_vars=False,
+                                   train_freqs=True)
+        kern_act.append(ka)
+        kern_com.append(kc)
+    return [kern_act, kern_com]
 
 
 def init_kern_act(num_pitches: int):

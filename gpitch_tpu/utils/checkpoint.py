@@ -39,27 +39,25 @@ def load_params(path: str):
 
 
 def save_model(directory: str, model: Any, step: int = 0):
-    """Orbax checkpoint of a full model pytree (replaces whole-model pickling,
-    methods.py:16-23)."""
-    import orbax.checkpoint as ocp
-    directory = os.path.abspath(directory)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(directory, str(step)),
-                   jax.tree_util.tree_map(np.asarray, model), force=True)
+    """Checkpoint a full model pytree (replaces whole-model pickling,
+    methods.py:16-23): leaves serialized positionally against the treedef, so
+    restore order is exact by construction."""
+    os.makedirs(directory, exist_ok=True)
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(model)]
+    np.savez(os.path.join(directory, f"{step}.npz"),
+             **{f"leaf_{i}": l for i, l in enumerate(leaves)})
 
 
 def load_model(directory: str, like: Any, step: int = 0):
     """Restore into the structure of ``like`` (same treedef)."""
-    import orbax.checkpoint as ocp
-    directory = os.path.abspath(directory)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        flat = ckptr.restore(os.path.join(directory, str(step)))
+    d = np.load(os.path.join(directory, f"{step}.npz"))
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    new_leaves = jax.tree_util.tree_leaves(flat)
+    new_leaves = [jax.numpy.asarray(d[f"leaf_{i}"]) for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def list_checkpoints(directory: str):
     if not os.path.isdir(directory):
         return []
-    return sorted(int(d) for d in os.listdir(directory) if d.isdigit())
+    return sorted(int(f[:-4]) for f in os.listdir(directory)
+                  if f.endswith(".npz") and f[:-4].isdigit())

@@ -1,0 +1,126 @@
+"""Tracing, timing and FLOPs accounting.
+
+The reference's only observability is ``print("optimizing window i")``
+(separation.py:297) and an ELBO callback in notebooks (SURVEY.md section 5).
+This module provides the production equivalents: jax.profiler trace capture,
+blocking step timers, analytical FLOPs models for the dominant kernels
+(covariance build, Cholesky, triangular solve, Gauss-Hermite reduction) and a
+roofline-style utilization report against per-chip peak.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+__all__ = ["trace", "Timer", "flops_specmix", "flops_cholesky",
+           "flops_trisolve", "flops_gh_expectations", "flops_svgp_step",
+           "utilization_report", "MetricsLogger"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/gpitch_trace"):
+    """jax.profiler trace context; view with TensorBoard/xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock timer that blocks on device results."""
+
+    def __init__(self):
+        self.t0 = None
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+
+    @staticmethod
+    def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
+        """Median seconds per call of a jitted fn (blocks via tree leaves)."""
+        def block(out):
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+        for _ in range(warmup):
+            block(fn(*args))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            block(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+
+# --- analytical FLOPs models ------------------------------------------------
+
+def flops_specmix(n: int, m: int, p: int) -> int:
+    """Spectral-mixture covariance via cos/sin features: feature build
+    ~6(N+M)P (trig) + matmul 2*N*M*2P + envelope ~4NM."""
+    return 6 * (n + m) * p + 4 * n * m * p + 4 * n * m
+
+
+def flops_cholesky(m: int, batch: int = 1) -> int:
+    return batch * m ** 3 // 3
+
+
+def flops_trisolve(m: int, k: int, batch: int = 1) -> int:
+    return batch * m * m * k
+
+
+def flops_gh_expectations(n: int, s: int, h: int) -> int:
+    """GH moments: evaluate nlin on (N,S,H) (~10 flops) + 2 reductions."""
+    return n * s * h * 14
+
+
+def flops_svgp_step(n_batch: int, m: int, s: int, p: int, h: int = 20) -> int:
+    """One ELBO+grad step of ModGP: 2S conditionals (Kuu build, chol,
+    2 trisolves, Kuf build), GH expectations, KL; backward ~2x forward."""
+    fwd = 2 * s * (flops_specmix(m, m, p) + flops_cholesky(m)
+                   + 2 * flops_trisolve(m, n_batch) + flops_specmix(m, n_batch, p))
+    fwd += flops_gh_expectations(n_batch, s, h)
+    fwd += 2 * s * flops_cholesky(m)  # KL terms
+    return 3 * fwd
+
+
+# peak f32 MXU throughput per chip (rough public numbers)
+PEAK_FLOPS = {"tpu v5 lite": 394e12 / 2, "tpu v4": 275e12 / 2, "cpu": 1e11}
+
+
+def utilization_report(flops_per_step: int, seconds_per_step: float,
+                       device_kind: str | None = None) -> dict:
+    kind = (device_kind or jax.devices()[0].device_kind).lower()
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), 1e12)
+    achieved = flops_per_step / seconds_per_step
+    return {"device": kind, "achieved_flops": achieved, "peak_flops": peak,
+            "mfu": achieved / peak, "seconds_per_step": seconds_per_step}
+
+
+@dataclass
+class MetricsLogger:
+    """Structured JSONL metrics (ELBO curve, steps/s, audio-seconds/s)."""
+
+    path: str | None = None
+    records: list = field(default_factory=list)
+
+    def log(self, **kv):
+        rec = {"t": time.time(), **kv}
+        self.records.append(rec)
+        if self.path:
+            with open(self.path, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+
+    def summary(self):
+        return self.records[-1] if self.records else {}

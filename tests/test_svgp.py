@@ -75,6 +75,27 @@ def test_elbo_is_lower_bound_after_training():
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_joint_bank_matches_separate():
+    """The batched act+com linalg path must agree with the per-bank path."""
+    model = make_model(s=2, m=9)
+    x, y, _, _ = synth_data(120)
+    assert model._can_join()
+    fmu_j, fvar_j = model._banks_joint(x)
+    ma, va = model._bank("act", x)
+    mc, vc = model._bank("com", x)
+    np.testing.assert_allclose(np.asarray(fmu_j),
+                               np.concatenate([ma, mc], 1), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fvar_j),
+                               np.concatenate([va, vc], 1), rtol=1e-7, atol=1e-9)
+    # and the elbo (which routes through the joint path) matches a manual one
+    e_joint = float(model.elbo(x, y))
+    fmu = jnp.concatenate([ma, mc], 1)
+    fvar = jnp.concatenate([va, vc], 1)
+    ve = model.likelihood.variational_expectations(fmu, fvar, y)
+    e_sep = float(jnp.sum(ve) - model.prior_kl())
+    np.testing.assert_allclose(e_joint, e_sep, rtol=1e-9)
+
+
 def test_predict_act_n_com_shapes():
     model = make_model(s=3)
     x = jnp.linspace(0, 1, 50).reshape(-1, 1)
