@@ -12,7 +12,7 @@ import numpy as np
 
 from .windowing import segmented, windowed
 
-__all__ = ["read_wav", "readaudio", "Audio", "synth_tone"]
+__all__ = ["read_wav", "readaudio", "Audio", "synth_tone", "synth_piano_note"]
 
 _PCM_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0,
               np.dtype(np.uint8): 128.0}
@@ -57,6 +57,35 @@ def synth_tone(fs=16000, seconds=1.0, freq=440.0):
     n = int(round(fs * seconds))
     x = np.linspace(0.0, (n - 1.0) / fs, n).reshape(-1, 1)
     return x, np.cos(2.0 * np.pi * freq * x)
+
+
+def synth_piano_note(fs=16000, seconds=2.0, f0=261.626, onset=0.0,
+                     num_partials=8, inharmonicity=3e-4, noise=3e-4, seed=0):
+    """Piano-like isolated note: inharmonic decaying partials under a
+    fast-attack/exponential-decay envelope.  Stands in for the MAPS isolated
+    recordings the reference pipelines load (e.g.
+    demos/data/011PFNOF_M60_train.wav) in tests and demos.
+
+    Returns (x, y) column vectors of length fs*seconds; the note starts at
+    ``onset`` seconds and is silent before it.
+    """
+    n = int(round(fs * seconds))
+    t = np.linspace(0.0, (n - 1.0) / fs, n)
+    tau = np.maximum(t - onset, 0.0)
+    rng = np.random.default_rng(seed)
+    y = np.zeros(n)
+    for k in range(1, num_partials + 1):
+        fk = k * f0 * np.sqrt(1.0 + inharmonicity * k * k)
+        amp = k ** -1.5
+        decay = np.exp(-tau * (1.5 + 0.6 * k))
+        y += amp * decay * np.sin(2 * np.pi * fk * tau + rng.uniform(0, 2 * np.pi))
+    env = (1.0 - np.exp(-tau * 200.0)) * np.exp(-tau * 1.2)
+    y = y * env * (t >= onset)
+    peak = np.max(np.abs(y))
+    y = y / (peak if peak > 0 else 1.0)
+    if noise:
+        y = y + noise * rng.standard_normal(n)
+    return t.reshape(-1, 1), y.reshape(-1, 1)
 
 
 class Audio:

@@ -23,11 +23,23 @@ from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
 __all__ = ["AMT", "pianoroll_from_variances", "f_measure"]
 
 
-def pianoroll_from_variances(matrix_var, threshold: float = 0.02):
+def pianoroll_from_variances(matrix_var, threshold: float = 0.02,
+                             per_pitch: bool = True):
     """Binary pianoroll estimate by thresholding the per-pitch variance
     envelope (the reference leaves this to offline evaluation; matrix_var is
-    its raw output, transcription.py:286-288)."""
-    mv = np.asarray(matrix_var)
+    its raw output, transcription.py:286-288).
+
+    ``per_pitch`` rescales each pitch row to [0, 1] before thresholding: the
+    optimizer leaves a nonzero variance floor on silent windows (the kernel
+    variance prior keeps it away from 0), and the floor differs per pitch, so
+    a single global scale either swamps quiet pitches or passes every floor.
+    """
+    mv = np.asarray(matrix_var, dtype=float)
+    if per_pitch:
+        lo = mv.min(axis=1, keepdims=True)
+        hi = mv.max(axis=1, keepdims=True)
+        mv = (mv - lo) / np.where(hi - lo > 0, hi - lo, 1.0)
+        return (mv > threshold).astype(float)
     scale = mv.max() if mv.max() > 0 else 1.0
     return (mv / scale > threshold).astype(float)
 
