@@ -52,18 +52,32 @@ def build_workload(backend):
 
 def run(backend, num_steps=2000, minibatch=100):
     import jax
-    from gpitch_tpu.models import fit_adam, minibatch_fn
+    import optax
+    from gpitch_tpu.models import adam_step_fn, minibatch_fn
 
     model, x, y = build_workload(backend)
     n = x.shape[0]
     loss_fn = lambda m, xb, yb: m.loss(xb, yb, num_data=n)
     batch_fn = minibatch_fn(x, y, minibatch)
+    optimizer = optax.adam(0.005)
+    opt_state = optimizer.init(model)
+    step = adam_step_fn(loss_fn, optimizer)
+    key = jax.random.PRNGKey(0)
 
-    # compile + warmup (10 steps), then timed run
-    fit_adam(model, loss_fn, num_steps=10, learning_rate=0.005, batch_fn=batch_fn)
+    @jax.jit
+    def run_steps(model, opt_state):
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, k):
+            return step(carry, batch_fn(k))
+
+        return jax.lax.scan(body, (model, opt_state), keys)
+
+    # first call compiles; the timed second call measures pure execution
+    (_, _), losses = run_steps(model, opt_state)
+    losses.block_until_ready()
     t0 = time.perf_counter()
-    model2, losses = fit_adam(model, loss_fn, num_steps=num_steps,
-                              learning_rate=0.005, batch_fn=batch_fn)
+    (model2, _), losses = run_steps(model, opt_state)
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     return num_steps / dt, float(losses[-1])

@@ -110,14 +110,29 @@ class FillTriangular(Transform):
 
     n: int = 1
 
+    # TPU note: the obvious ``zeros.at[tril_indices].set(x)`` is a scatter,
+    # which XLA serializes on TPU (it sat on the SVGP hot path via q_sqrt and
+    # cost ~0.14 ms/step at M=128).  This uses the TFP fill_triangular
+    # construction instead: concat([x[n:], flip(x)]) reshaped to (n, n) is a
+    # permutation whose lower triangle contains every packed entry exactly
+    # once, so forward = concat+flip+reshape+mask (pure layout/elementwise ops
+    # with equally cheap VJPs, no scatter/gather anywhere).
+
     def forward(self, x):
-        idx = np.tril_indices(self.n)
-        m = jnp.zeros(x.shape[:-1] + (self.n, self.n), dtype=x.dtype)
-        return m.at[..., idx[0], idx[1]].set(x)
+        x = jnp.asarray(x)
+        xc = jnp.concatenate([x[..., self.n:], jnp.flip(x, axis=-1)], axis=-1)
+        y = xc.reshape(x.shape[:-1] + (self.n, self.n))
+        return jnp.tril(y)
 
     def inverse(self, y):
-        idx = np.tril_indices(self.n)
-        return jnp.asarray(y)[..., idx[0], idx[1]]
+        # static index map: packed slot t lives at (ii[t], jj[t]) under forward
+        n = self.n
+        m = n * (n + 1) // 2
+        k = np.arange(m)
+        xc = np.concatenate([k[n:], k[::-1]]).reshape(n, n)
+        ii, jj = np.tril_indices(n)
+        order = np.argsort(xc[ii, jj])
+        return jnp.asarray(y)[..., ii[order], jj[order]]
 
 
 positive = Positive()

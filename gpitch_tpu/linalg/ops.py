@@ -17,7 +17,8 @@ import jax.scipy.linalg as jsl
 from ..config import default_jitter
 
 __all__ = ["add_jitter", "safe_cholesky", "solve_lower", "solve_upper",
-           "conditional", "base_conditional", "gauss_kl"]
+           "chol_inv", "safe_chol_inv", "conditional", "base_conditional",
+           "base_conditional_inv", "gauss_kl"]
 
 
 def add_jitter(K, jitter: float | None = None):
@@ -39,6 +40,59 @@ def solve_upper(L, B):
     return jsl.solve_triangular(L.T, B, lower=False)
 
 
+def _mT(X):
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _phi(X):
+    """tril with halved diagonal — the projection in the Cholesky VJP."""
+    d = jnp.diagonal(X, axis1=-2, axis2=-1)
+    eye = jnp.eye(X.shape[-1], dtype=X.dtype)
+    return jnp.tril(X, -1) + 0.5 * eye * d[..., None, :]
+
+
+@jax.custom_vjp
+def chol_inv(K):
+    """(L, Linv): Cholesky of K and its explicit triangular inverse.
+
+    TPU rationale: XLA lowers ``solve_triangular`` and the autodiff VJPs of
+    ``cholesky``/``solve_triangular`` to blocked while-loops whose latency
+    dominates the SVGP/SGPR training step at gpitch sizes (M ~ 128).  Paying
+    one extra M-wide triangular solve in the forward pass buys (a) every
+    downstream "solve" as an MXU matmul ``Linv @ B`` and (b) a backward pass
+    that is *pure matmuls* (Murray 2016, arXiv:1602.07527: the Cholesky
+    pullback is Linv^T Phi(L^T L_bar) Linv; with Linv in hand no triangular
+    solve appears anywhere in the VJP).  Batched over leading axes.
+    """
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Linv = jsl.solve_triangular(L, jnp.broadcast_to(eye, K.shape), lower=True)
+    return L, Linv
+
+
+def _chol_inv_fwd(K):
+    out = chol_inv(K)
+    return out, out
+
+
+def _chol_inv_bwd(res, cots):
+    L, Linv = res
+    L_bar, Linv_bar = cots
+    # dLinv = -Linv dL Linv  =>  contribution to L_bar is -Linv^T Linv_bar Linv^T
+    total = L_bar - _mT(Linv) @ Linv_bar @ _mT(Linv)
+    K_bar = _mT(Linv) @ _phi(_mT(L) @ total) @ Linv
+    K_bar = 0.5 * (K_bar + _mT(K_bar))
+    return (K_bar,)
+
+
+chol_inv.defvjp(_chol_inv_fwd, _chol_inv_bwd)
+
+
+def safe_chol_inv(K, jitter: float | None = None):
+    """chol_inv of K + jitter*I."""
+    return chol_inv(add_jitter(K, jitter))
+
+
 def base_conditional(Kmn, Lm, Knn_diag, q_mu, q_sqrt=None, whiten=True):
     """q(f(Xnew)) given q(u)=N(q_mu, q_sqrt q_sqrt^T) and precomputed chol(Kmm).
 
@@ -58,14 +112,28 @@ def base_conditional(Kmn, Lm, Knn_diag, q_mu, q_sqrt=None, whiten=True):
     return fmean, fvar[:, None] * jnp.ones_like(fmean)
 
 
+def base_conditional_inv(Kmn, Lm_inv, Knn_diag, q_mu, q_sqrt=None, whiten=True):
+    """base_conditional with the explicit inverse from ``chol_inv`` — every
+    solve becomes an MXU matmul (and the VJP stays matmul-only)."""
+    A = Lm_inv @ Kmn                               # (M, N)
+    fvar = Knn_diag - jnp.sum(jnp.square(A), 0)    # (N,)
+    if not whiten:
+        A = _mT(Lm_inv) @ A                        # Kmm^{-1} Kmn path
+    fmean = A.T @ q_mu                             # (N, Q)
+    if q_sqrt is not None:
+        LTA = jnp.tril(q_sqrt).T @ A               # (M, N)
+        fvar = fvar + jnp.sum(jnp.square(LTA), 0)
+    return fmean, fvar[:, None] * jnp.ones_like(fmean)
+
+
 def conditional(Xnew, Z, kernel, q_mu, q_sqrt=None, whiten=True,
                 jitter: float | None = None):
     """Functional gpflow.conditionals.conditional (pdgp.py:147-155)."""
     Kmm = kernel.K(Z)
-    Lm = safe_cholesky(Kmm, jitter)
+    _, Lm_inv = safe_chol_inv(Kmm, jitter)
     Kmn = kernel.K(Z, Xnew)
     Knn = kernel.Kdiag(Xnew)
-    return base_conditional(Kmn, Lm, Knn, q_mu, q_sqrt, whiten)
+    return base_conditional_inv(Kmn, Lm_inv, Knn, q_mu, q_sqrt, whiten)
 
 
 def gauss_kl(q_mu, q_sqrt, K=None, jitter: float | None = None):
@@ -84,10 +152,10 @@ def gauss_kl(q_mu, q_sqrt, K=None, jitter: float | None = None):
         trace = jnp.sum(jnp.square(Lq)) * q
         logdet_p = 0.0
     else:
-        Lp = safe_cholesky(K, jitter) if K.ndim == 2 else K
-        alpha = solve_lower(Lp, q_mu)
+        Lp, Lp_inv = safe_chol_inv(K, jitter)
+        alpha = Lp_inv @ q_mu
         mahal = jnp.sum(jnp.square(alpha))
-        LiLq = solve_lower(Lp, Lq)
+        LiLq = Lp_inv @ Lq
         trace = jnp.sum(jnp.square(LiLq)) * q
         logdet_p = 2.0 * q * jnp.sum(jnp.log(jnp.abs(jnp.diag(Lp))))
     return 0.5 * (mahal + trace - M * q - q * logdet_q + logdet_p)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..config import NumericsConfig
 from ..core.params import Param, module, static_field
 from ..core.transforms import Positive
-from ..linalg.ops import safe_cholesky, solve_lower
+from ..linalg.ops import safe_chol_inv, safe_cholesky, solve_lower
 
 __all__ = ["GPR", "SGPR", "SGPRSS"]
 
@@ -125,18 +125,19 @@ class SGPR:
             kdiag = kdiag * mv
             kuf = kuf * mv[None, :]
         kuu = self.kern.K(z)
-        L = safe_cholesky(kuu, self.numerics.jitter_value())
-        A = solve_lower(L, kuf) / jnp.sqrt(sigma2)
+        # chol_inv: downstream solves and the whole VJP become MXU matmuls
+        _, L_inv = safe_chol_inv(kuu, self.numerics.jitter_value())
+        A = (L_inv @ kuf) / jnp.sqrt(sigma2)
         AAT = A @ A.T
         B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
-        LB = safe_cholesky(B, 0.0)
+        LB, LB_inv = safe_chol_inv(B, 0.0)
         Aerr = A @ err
-        c = solve_lower(LB, Aerr) / jnp.sqrt(sigma2)
-        return err, kdiag, L, A, AAT, LB, c, sigma2
+        c = (LB_inv @ Aerr) / jnp.sqrt(sigma2)
+        return err, kdiag, L_inv, A, AAT, (LB, LB_inv), c, sigma2
 
     def elbo(self):
         """The collapsed bound, term-for-term sgpr_ss.py:56-62."""
-        err, kdiag, _, _, AAT, LB, c, sigma2 = self._common()
+        err, kdiag, _, _, AAT, (LB, _), c, sigma2 = self._common()
         num_data = (jnp.sum(self.mask_value) if self.mask is not None
                     else jnp.asarray(err.shape[0], err.dtype))
         outdim = err.shape[1]
@@ -164,10 +165,10 @@ class SGPR:
     # ----------------------------------------------------------- predict
     def predict_f(self, Xnew):
         """Titsias posterior at Xnew (gpflow SGPR.build_predict equivalent)."""
-        err, _, L, A, _, LB, c, sigma2 = self._common()
+        err, _, L_inv, A, _, (_, LB_inv), c, sigma2 = self._common()
         kus = self.kern.K(self.Z.value, Xnew)
-        tmp1 = solve_lower(L, kus)
-        tmp2 = solve_lower(LB, tmp1)
+        tmp1 = L_inv @ kus
+        tmp2 = LB_inv @ tmp1
         mean = tmp2.T @ c
         var = (self.kern.Kdiag(Xnew)
                + jnp.sum(jnp.square(tmp2), 0)
@@ -195,8 +196,8 @@ class SGPRSS(SGPR):
             kxx = kxx * (m[:, None] * m[None, :])
             y = y * m[:, None]
         ky = kxx + sigma2 * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
-        L = safe_cholesky(ky, self.numerics.jitter_value())
-        V = solve_lower(L, y)
+        _, L_inv = safe_chol_inv(ky, self.numerics.jitter_value())
+        V = L_inv @ y
 
         kerns = list(self.kern.kern_list)
         means, variances = [], []
@@ -204,7 +205,7 @@ class SGPRSS(SGPR):
             kx = k.K(x, Xnew)
             if self.mask is not None:
                 kx = kx * self.mask_value[:, None]
-            A = solve_lower(L, kx)
+            A = L_inv @ kx
             means.append(A.T @ V)
             svar = k.Kdiag(Xnew) - jnp.sum(jnp.square(A), 0)
             variances.append(svar[:, None])

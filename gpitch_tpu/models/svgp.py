@@ -147,6 +147,10 @@ class ModGP:
         q_mu = jnp.concatenate([self.q_mu_act.value, self.q_mu_com.value])
         q_sqrt = jnp.concatenate([self.q_sqrt_act.value, self.q_sqrt_com.value])
 
+        # NOTE: solve-based (not chol_inv): the activation Gram at dense
+        # extrema inducing points is ill-conditioned; in f32 the explicit
+        # triangular inverse loses ~cond(L)^2 precision and NaNs the training
+        # step on TPU, while backward-substitution stays stable.
         lm = jnp.linalg.cholesky(
             kmm + jitter * jnp.eye(kmm.shape[-1], dtype=kmm.dtype))
         a = jax.scipy.linalg.solve_triangular(lm, kmn, lower=True)  # (2S, M, N)
