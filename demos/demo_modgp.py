@@ -30,7 +30,7 @@ def main():
     import jax.numpy as jnp
     import gpitch_tpu as gt
     from gpitch_tpu.kernels import Matern32, MercerMatern12sm
-    from gpitch_tpu.models import ModGP, fit_adam, minibatch_fn
+    from gpitch_tpu.models import ModGP, fit_adam_timed, minibatch_fn
     from gpitch_tpu.pipelines import init_liv
 
     # data generation (reference demo lines 19-26)
@@ -54,15 +54,13 @@ def main():
     model = ModGP.create(z=z, kern=[[kact], [kcom]])
     xj, yj = jnp.asarray(x), jnp.asarray(y)
 
-    t0 = time.perf_counter()
-    model, losses = fit_adam(
+    model, losses, compile_s, run_s = fit_adam_timed(
         model, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
         num_steps=args.steps, learning_rate=args.lr,
         batch_fn=minibatch_fn(xj, yj, args.minibatch))
-    dt = time.perf_counter() - t0
     elbo = -float(losses[-1]) if args.steps > 0 else float("nan")
-    print(f"{args.steps} Adam steps in {dt:.2f}s ({args.steps/dt:.1f} steps/s), "
-          f"ELBO {elbo:.1f}")
+    print(f"{args.steps} Adam steps: compile {compile_s:.1f}s, run {run_s:.2f}s "
+          f"({args.steps/run_s:.0f} steps/s), ELBO {elbo:.1f}")
 
     # prediction (lines 48-49)
     xtest = jnp.asarray(x[::4].copy())

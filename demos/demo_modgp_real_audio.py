@@ -39,7 +39,8 @@ def main():
     import jax.numpy as jnp
     from gpitch_tpu.audio import init_cparam, readaudio, synth_piano_note
     from gpitch_tpu.kernels import Matern32, MercerMatern12sm
-    from gpitch_tpu.models import ModGP, fit_adam, minibatch_fn, predict_windowed
+    from gpitch_tpu.models import (ModGP, fit_adam_timed, minibatch_fn,
+                                   predict_windowed)
     from gpitch_tpu.pipelines import init_liv
     from gpitch_tpu.utils import midi2freq
 
@@ -68,14 +69,13 @@ def main():
     model = ModGP.create(z=z, kern=[[kact], [kcom]])
     xj, yj = jnp.asarray(x), jnp.asarray(y)
 
-    t0 = time.perf_counter()
-    model, losses = fit_adam(
+    model, losses, compile_s, run_s = fit_adam_timed(
         model, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
         num_steps=args.steps, learning_rate=args.lr,
         batch_fn=minibatch_fn(xj, yj, args.minibatch))
-    dt = time.perf_counter() - t0
     losses = np.asarray(losses)
-    print(f"{args.steps} Adam steps in {dt:.2f}s ({args.steps/dt:.1f} steps/s), "
+    print(f"{args.steps} Adam steps: compile {compile_s:.1f}s, run {run_s:.2f}s "
+          f"({args.steps/run_s:.0f} steps/s), "
           f"ELBO {-losses[-1]:.1f} (start {-losses[0]:.1f})")
 
     # windowed prediction over the full signal (pdgp.py:17-44 equivalent)

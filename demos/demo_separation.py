@@ -61,15 +61,15 @@ def main():
     print(f"built {model.nwin}-window bank in {time.perf_counter() - t0:.1f}s "
           f"({model.num_pitches} pitches, M={model.z.shape[1]})")
 
-    t0 = time.perf_counter()
-    losses = model.optimize(maxiter=args.maxiter, learning_rate=args.lr)
-    dt = time.perf_counter() - t0
+    losses, (compile_s, run_s) = model.optimize(maxiter=args.maxiter,
+                                                learning_rate=args.lr,
+                                                timed=True)
     losses = np.asarray(losses)
-    print(f"{args.maxiter} bank Adam steps in {dt:.2f}s "
-          f"({args.maxiter/dt:.1f} steps/s over {model.nwin} windows), "
-          f"loss {losses[0]:.1f} -> {losses[-1]:.1f}")
-    audio_s = args.seconds * args.maxiter / dt
-    print(f"throughput: {audio_s:.1f} audio-seconds optimized per second")
+    print(f"{args.maxiter} bank Adam steps: compile {compile_s:.1f}s, "
+          f"run {run_s*1e3:.1f}ms ({args.maxiter/run_s:.0f} steps/s over "
+          f"{model.nwin} windows), loss {losses[0]:.1f} -> {losses[-1]:.1f}")
+    audio_s = args.seconds * args.maxiter / run_s
+    print(f"throughput: {audio_s:.0f} audio-seconds optimized per second")
 
     model.predict_s()
     rmse = model.compute_rmse(sources)

@@ -58,14 +58,14 @@ def main():
                 dec=args.dec, num_inducing=args.num_inducing)
     print(f"built {model.nwin}-window bank in {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    losses = np.asarray(model.optimize(maxiter=args.maxiter,
-                                       learning_rate=args.lr))
-    dt = time.perf_counter() - t0
-    print(f"{args.maxiter} bank Adam steps in {dt:.2f}s "
-          f"({args.maxiter/dt:.1f} steps/s over {model.nwin} windows), "
-          f"loss {losses[0]:.1f} -> {losses[-1]:.1f}")
-    print(f"throughput: {args.seconds * args.maxiter / dt:.1f} "
+    losses, (compile_s, run_s) = model.optimize(maxiter=args.maxiter,
+                                                learning_rate=args.lr,
+                                                timed=True)
+    losses = np.asarray(losses)
+    print(f"{args.maxiter} bank Adam steps: compile {compile_s:.1f}s, "
+          f"run {run_s*1e3:.1f}ms ({args.maxiter/run_s:.0f} steps/s over "
+          f"{model.nwin} windows), loss {losses[0]:.1f} -> {losses[-1]:.1f}")
+    print(f"throughput: {args.seconds * args.maxiter / run_s:.0f} "
           f"audio-seconds optimized per second")
 
     # ground-truth roll at window centers

@@ -21,7 +21,8 @@ import optax
 
 from ..core.params import zero_untrainable_grads
 
-__all__ = ["fit_adam", "fit_lbfgs", "adam_step_fn", "minibatch_fn"]
+__all__ = ["fit_adam", "fit_adam_timed", "fit_lbfgs", "adam_step_fn",
+           "minibatch_fn"]
 
 
 def minibatch_fn(x, y, minibatch_size: int):
@@ -54,18 +55,8 @@ def adam_step_fn(loss_fn: Callable, optimizer) -> Callable:
     return step
 
 
-def fit_adam(model, loss_fn: Callable, num_steps: int, learning_rate: float = 0.005,
-             batch_fn: Callable | None = None, key=None, optimizer=None):
-    """Run ``num_steps`` of Adam fully inside one jit.
-
-    loss_fn(model, *batch) -> scalar.  With ``batch_fn`` (key -> batch tuple),
-    a fresh minibatch is drawn every step; otherwise loss_fn(model) is used.
-    Returns (model, losses[num_steps]).
-    """
-    optimizer = optimizer or optax.adam(learning_rate)
-    opt_state = optimizer.init(model)
-    key = key if key is not None else jax.random.PRNGKey(0)
-
+def _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key):
+    """One jitted scan over the whole Adam schedule."""
     if batch_fn is None:
         step = adam_step_fn(lambda m: loss_fn(m), optimizer)
 
@@ -85,8 +76,55 @@ def fit_adam(model, loss_fn: Callable, num_steps: int, learning_rate: float = 0.
                 return step(carry, batch_fn(k))
             return jax.lax.scan(body, (model, opt_state), keys)
 
+    return run
+
+
+def fit_adam(model, loss_fn: Callable, num_steps: int, learning_rate: float = 0.005,
+             batch_fn: Callable | None = None, key=None, optimizer=None):
+    """Run ``num_steps`` of Adam fully inside one jit.
+
+    loss_fn(model, *batch) -> scalar.  With ``batch_fn`` (key -> batch tuple),
+    a fresh minibatch is drawn every step; otherwise loss_fn(model) is used.
+    Returns (model, losses[num_steps]).
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = optimizer.init(model)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    run = _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key)
     (model, _), losses = run(model, opt_state)
     return model, losses
+
+
+def fit_adam_timed(model, loss_fn: Callable, num_steps: int,
+                   learning_rate: float = 0.005, batch_fn: Callable | None = None,
+                   key=None, optimizer=None):
+    """fit_adam that separates compile time from execution time.
+
+    The first call of the jitted scan includes XLA compilation (tens of
+    seconds for a window bank, while the compiled run itself is milliseconds);
+    quoting their sum as "training time" is off by orders of magnitude.  This
+    executes the same compiled program a second time from the same initial
+    state and times it.  Returns (model, losses, compile_s, run_s).
+    """
+    import time
+
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = optimizer.init(model)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    run = _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key)
+
+    t0 = time.perf_counter()
+    out = run(model, opt_state)
+    jax.block_until_ready(out)
+    first_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = run(model, opt_state)
+    jax.block_until_ready(out)
+    run_s = time.perf_counter() - t0
+
+    (model, _), losses = out
+    return model, losses, max(first_s - run_s, 0.0), run_s
 
 
 def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,

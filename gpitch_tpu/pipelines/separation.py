@@ -143,13 +143,20 @@ class SoSp:
 
     # ------------------------------------------------------------- training
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
-                 method: str = "adam"):
-        """All windows at once (replaces separation.py:279-313)."""
-        self.bank, losses = optimize_bank(self.bank, num_steps=maxiter,
-                                          learning_rate=learning_rate,
-                                          method=method)
+                 method: str = "adam", timed: bool = False):
+        """All windows at once (replaces separation.py:279-313).
+
+        ``timed=True`` also returns (compile_s, run_s) for the Adam schedule.
+        """
+        out = optimize_bank(self.bank, num_steps=maxiter,
+                            learning_rate=learning_rate, method=method,
+                            timed=timed)
+        if timed:
+            self.bank, losses, timing = out
+        else:
+            self.bank, losses = out
         self.matrix_var = np.asarray(pitch_variances(self.bank))
-        return losses
+        return (losses, timing) if timed else losses
 
     # ------------------------------------------------------------ prediction
     def predict_f(self, batch_size: int = 8):

@@ -109,13 +109,20 @@ class AMT:
                                  y_scale=self.y_scale)
 
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
-                 method: str = "adam"):
-        """All windows in parallel (replaces transcription.py:265-298)."""
-        self.bank, losses = optimize_bank(self.bank, num_steps=maxiter,
-                                          learning_rate=learning_rate,
-                                          method=method)
+                 method: str = "adam", timed: bool = False):
+        """All windows in parallel (replaces transcription.py:265-298).
+
+        ``timed=True`` also returns (compile_s, run_s) for the Adam schedule.
+        """
+        out = optimize_bank(self.bank, num_steps=maxiter,
+                            learning_rate=learning_rate, method=method,
+                            timed=timed)
+        if timed:
+            self.bank, losses, timing = out
+        else:
+            self.bank, losses = out
         self.matrix_var = np.asarray(pitch_variances(self.bank))
-        return losses
+        return (losses, timing) if timed else losses
 
     def pianoroll_estimate(self, threshold: float = 0.02):
         return pianoroll_from_variances(self.matrix_var, threshold)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.base import stack_modules, unstack_modules
-from ..models.fit import fit_adam, fit_lbfgs
+from ..models.fit import fit_adam, fit_adam_timed, fit_lbfgs
 from ..models.sgpr import SGPRSS
 
 __all__ = ["pad_inducing", "build_window_bank", "bank_loss", "optimize_bank",
@@ -82,9 +82,18 @@ def bank_loss(bank):
 
 
 def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
-                  method: str = "adam"):
-    """Optimize every window simultaneously; returns (bank, losses)."""
+                  method: str = "adam", timed: bool = False):
+    """Optimize every window simultaneously; returns (bank, losses).
+
+    ``timed=True`` (adam only) additionally returns (compile_s, run_s) —
+    XLA compilation vs execution of the whole schedule (fit_adam_timed).
+    """
     if method == "adam":
+        if timed:
+            bank, losses, compile_s, run_s = fit_adam_timed(
+                bank, lambda b: bank_loss(b), num_steps=num_steps,
+                learning_rate=learning_rate)
+            return bank, losses, (compile_s, run_s)
         return fit_adam(bank, lambda b: bank_loss(b), num_steps=num_steps,
                         learning_rate=learning_rate)
     return fit_lbfgs(bank, bank_loss, num_steps=num_steps)

@@ -75,6 +75,19 @@ def test_elbo_is_lower_bound_after_training():
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_fit_adam_timed_matches_fit_adam():
+    from gpitch_tpu.models import fit_adam_timed
+    model = make_model(s=1, m=8)
+    x, y, _, _ = synth_data(100)
+    loss_fn = lambda m, xb, yb: m.loss(xb, yb, num_data=100)
+    bf = minibatch_fn(x, y, 32)
+    _, l1 = fit_adam(model, loss_fn, num_steps=5, batch_fn=bf)
+    _, l2, compile_s, run_s = fit_adam_timed(model, loss_fn, num_steps=5,
+                                             batch_fn=bf)
+    np.testing.assert_allclose(l1, l2, rtol=1e-12)
+    assert compile_s >= 0.0 and run_s > 0.0
+
+
 def test_joint_bank_matches_separate():
     """The batched act+com linalg path must agree with the per-bank path."""
     model = make_model(s=2, m=9)
