@@ -1,7 +1,7 @@
 """TPU-native kernel zoo covering the reference's 17 kernel classes
 (/root/reference/gpitch/kernels.py, matern12_spectral_mixture.py)."""
 
-from .base import (Constant, Kernel, Product, Sum, White, absdist, euclid_dist,
+from .base import (Constant, Kernel, Product, StackedSum, Sum, White, absdist, euclid_dist,
                    sqdist, stack_modules, unstack_modules)
 from .feature import Env, Hann, KernelGPR, MeanGP, NonParam, Sig
 from .spectral import (Matern12sm, Matern32sm, Matern32smOld, Matern32sml,
@@ -11,7 +11,7 @@ from .stationary import (RBF, Cosine, Gammaexponential, LogisticHat, Matern12,
                          Matern32, Matern52, Stationary)
 
 __all__ = [
-    "Kernel", "Sum", "Product", "White", "Constant",
+    "Kernel", "Sum", "StackedSum", "Product", "White", "Constant",
     "absdist", "euclid_dist", "sqdist", "stack_modules", "unstack_modules",
     "RBF", "Matern12", "Matern32", "Matern52", "Cosine", "Gammaexponential",
     "LogisticHat", "Stationary",

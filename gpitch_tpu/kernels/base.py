@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.params import module, static_field
 
-__all__ = ["Kernel", "Sum", "Product", "White", "Constant",
+__all__ = ["Kernel", "Sum", "StackedSum", "Product", "White", "Constant",
            "absdist", "sqdist", "euclid_dist", "stack_modules", "unstack_modules"]
 
 
@@ -95,6 +95,49 @@ class Sum(Kernel):
     def Kdiag(self, X):
         parts = [k.Kdiag(X) for k in self.kern_list]
         return sum(parts[1:], parts[0])
+
+
+@module
+class StackedSum(Kernel):
+    """Sum of S same-family kernels with *stacked* parameters.
+
+    The AMT model kernel is a sum over up to 88 per-pitch kernels
+    (reference separation.py:257 ``np.sum(self.kern_pitches)``,
+    transcription.py:170-227).  ``Sum`` unrolls a Python loop per term — an
+    88x larger graph and 88 sequential small ops.  Here the terms live as one
+    batched pytree and evaluate as a single vmapped op: one (S, N, M)
+    covariance batch followed by a sum over the leading axis, so the pitch
+    axis rides the MXU/VPU instead of the instruction stream.
+    """
+
+    stacked: Any = None           # batched kernel pytree, leading axis S
+    num_terms: int = static_field(0)
+
+    @classmethod
+    def create(cls, kern_list):
+        kern_list = list(kern_list)
+        return cls(stacked=stack_modules(kern_list), num_terms=len(kern_list))
+
+    def K(self, X, X2=None):
+        return jnp.sum(self.K_terms(X, X2), axis=0)
+
+    def Kdiag(self, X):
+        return jnp.sum(self.Kdiag_terms(X), axis=0)
+
+    # batched per-term access — the per-source posterior path (sgpr_ss.py:92-106)
+    def K_terms(self, X, X2=None):
+        """(S, N, M) cross-covariance of every term at once."""
+        return jax.vmap(lambda k: k.K(X, X2))(self.stacked)
+
+    def Kdiag_terms(self, X):
+        """(S, N) diagonals of every term."""
+        return jax.vmap(lambda k: k.Kdiag(X))(self.stacked)
+
+    @property
+    def kern_list(self):
+        """Unstacked view (Sum-compatible).  Do not use inside jit hot loops —
+        it materializes S separate pytrees."""
+        return tuple(unstack_modules(self.stacked, self.num_terms))
 
 
 @module

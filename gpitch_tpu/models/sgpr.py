@@ -154,6 +154,9 @@ class SGPR:
 
     def _l1_variances(self):
         """L1 penalty over per-pitch kernel variances (sgpr_ss.py:17-27, 64-68)."""
+        stacked = getattr(self.kern, "stacked", None)
+        if stacked is not None:  # StackedSum: one batched leaf
+            return jnp.sum(jnp.abs(stacked.variance.value))
         total = 0.0
         for k in getattr(self.kern, "kern_list", [self.kern]):
             total = total + jnp.sum(jnp.abs(k.variance.value))
@@ -198,6 +201,17 @@ class SGPRSS(SGPR):
         ky = kxx + sigma2 * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
         _, L_inv = safe_chol_inv(ky, self.numerics.jitter_value())
         V = L_inv @ y
+
+        if hasattr(self.kern, "K_terms"):  # StackedSum: one batched solve
+            kx = self.kern.K_terms(x, Xnew)            # (S, N, Nnew)
+            if self.mask is not None:
+                kx = kx * self.mask_value[None, :, None]
+            A = L_inv[None] @ kx                       # (S, N, Nnew)
+            mean = jnp.einsum("snm,nq->smq", A, V)     # (S, Nnew, 1)
+            svar = self.kern.Kdiag_terms(Xnew) - jnp.sum(jnp.square(A), 1)
+            s = mean.shape[0]
+            return ([mean[i] for i in range(s)],
+                    [svar[i][:, None] for i in range(s)])
 
         kerns = list(self.kern.kern_list)
         means, variances = [], []

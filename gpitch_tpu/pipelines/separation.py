@@ -22,13 +22,13 @@ import numpy as np
 from ..audio.io import Audio, readaudio
 from ..audio.spectrum import init_cparam
 from ..audio.windowing import merged_mean, merged_variance, window_stack
-from ..kernels import Sum
+from ..kernels import Sum  # noqa: F401 (re-export compat)
 from ..utils.math import find_ideal_f0
 from .init import init_kern_com, init_liv
 from .kernel_learning import fit_kernel, sample_cov
 from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
                             pitch_variances, predict_bank_mixture,
-                            predict_bank_sources)
+                            predict_bank_sources, sum_kernel)
 
 __all__ = ["SoSp", "learn_pitch_params", "load_mixture_from_sources"]
 
@@ -132,10 +132,7 @@ class SoSp:
     def _kern_builder(self):
         kerns = init_kern_com(self.num_pitches, self.params[0], self.params[1],
                               self.params[2], len_fixed=True)
-        k = kerns[0]
-        for extra in kerns[1:]:
-            k = k + extra
-        return k if isinstance(k, Sum) else Sum(kern_list=(k,))
+        return sum_kernel(kerns)
 
     def _build_bank(self):
         return build_window_bank(self.xw, self.yw, self.z, self._kern_builder,

@@ -14,11 +14,11 @@ import numpy as np
 
 from ..audio.pianoroll import Pianoroll
 from ..audio.windowing import window_stack
-from ..kernels import Sum
+from ..kernels import Sum  # noqa: F401 (re-export compat)
 from .init import init_kern_com, init_liv
 from .separation import learn_pitch_params
 from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
-                            pitch_variances)
+                            pitch_variances, sum_kernel)
 
 __all__ = ["AMT", "pianoroll_from_variances", "f_measure"]
 
@@ -98,10 +98,7 @@ class AMT:
     def _kern_builder(self):
         kerns = init_kern_com(len(self.pitches), self.params[0], self.params[1],
                               self.params[2], len_fixed=False)
-        k = kerns[0]
-        for extra in kerns[1:]:
-            k = k + extra
-        return k if isinstance(k, Sum) else Sum(kern_list=(k,))
+        return sum_kernel(kerns)
 
     def _build_bank(self):
         return build_window_bank(self.xw, self.yw, self.z, self._kern_builder,

@@ -21,13 +21,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.base import stack_modules, unstack_modules
+from ..kernels.base import StackedSum, Sum, stack_modules, unstack_modules
 from ..models.fit import fit_adam, fit_adam_timed, fit_lbfgs
 from ..models.sgpr import SGPRSS
 
 __all__ = ["pad_inducing", "build_window_bank", "bank_loss", "optimize_bank",
            "predict_bank_sources", "predict_bank_mixture", "pitch_variances",
-           "chunked_vmap"]
+           "chunked_vmap", "sum_kernel"]
+
+
+def sum_kernel(kerns):
+    """Sum over per-pitch kernels (``np.sum(kern_pitches)``, separation.py:257).
+
+    Homogeneous kernel lists become a ``StackedSum`` (single vmapped op — no
+    per-pitch graph unrolling, essential at AMT's 88 pitches); heterogeneous
+    lists fall back to ``Sum``.
+    """
+    kerns = list(kerns)
+    if len(kerns) > 1:
+        try:
+            return StackedSum.create(kerns)
+        except (ValueError, TypeError):
+            pass
+    return Sum(kern_list=tuple(kerns))
 
 
 def pad_inducing(z_list, m: int | None = None):
@@ -156,5 +172,9 @@ def predict_bank_mixture(bank, x_windows, batch_size: int = 8, y_scale: float = 
 def pitch_variances(bank):
     """matrix_var: learned per-pitch variance envelope, (num_pitches, nw) —
     the transcription output (separation.py:301-303, transcription.py:286-288)."""
+    stacked = getattr(bank.kern, "stacked", None)
+    if stacked is not None:
+        # StackedSum inside a window bank: variance leaf is (nw, S)
+        return jnp.swapaxes(stacked.variance.value, 0, 1)
     rows = [k.variance.value for k in bank.kern.kern_list]
     return jnp.stack(rows)

@@ -153,3 +153,32 @@ def test_stack_modules_vmap():
     Ks = jax.vmap(lambda k: k.K(X, X2))(stacked)
     for i, k in enumerate(kerns):
         np.testing.assert_allclose(Ks[i], k.K(X, X2), rtol=1e-6)
+
+
+def test_stacked_sum_matches_sum():
+    kerns = [gk.Matern12sm.create(1.0, 0.1 * (i + 1), [0.6, 0.4],
+                                  [40.0 * (i + 1), 80.0 * (i + 1)])
+             for i in range(4)]
+    plain = gk.Sum(kern_list=tuple(kerns))
+    stacked = gk.StackedSum.create(kerns)
+    np.testing.assert_allclose(stacked.K(X, X2), plain.K(X, X2), rtol=1e-10)
+    np.testing.assert_allclose(stacked.K(X), plain.K(X), rtol=1e-10)
+    np.testing.assert_allclose(stacked.Kdiag(X), plain.Kdiag(X), rtol=1e-10)
+    terms = stacked.K_terms(X, X2)
+    for i, k in enumerate(kerns):
+        np.testing.assert_allclose(terms[i], k.K(X, X2), rtol=1e-10)
+    # kern_list round-trips
+    for i, k in enumerate(stacked.kern_list):
+        np.testing.assert_allclose(k.K(X), kerns[i].K(X), rtol=1e-12)
+
+
+def test_stacked_sum_88_pitches():
+    """AMT-scale kernel: 88 stacked pitch kernels evaluate as one vmapped op."""
+    import jax
+    f0s = 27.5 * 2.0 ** (np.arange(88) / 12.0)
+    kerns = [gk.Matern12sm.create(1.0, 0.1, [1.0, 0.5], [f, 2 * f]) for f in f0s]
+    stacked = gk.StackedSum.create(kerns)
+    K = jax.jit(lambda: stacked.K(X))()
+    assert K.shape == (X.shape[0], X.shape[0])
+    ev = np.linalg.eigvalsh(np.asarray((K + K.T) / 2))
+    assert ev.min() > -1e-6

@@ -132,3 +132,30 @@ def test_lbfgs_improves_bound(rng):
     loss0 = float(model.loss())
     model2, losses = fit_lbfgs(model, lambda m: m.loss(), num_steps=40)
     assert float(model2.loss()) < loss0 - 1.0
+
+
+def test_sgprss_stacked_sum_matches_sum(rng):
+    """SGPRSS with StackedSum: identical bound and per-source posteriors."""
+    from gpitch_tpu.kernels import StackedSum
+    n = 25
+    x = jnp.asarray(np.sort(rng.random((n, 1)), axis=0))
+    y = jnp.asarray(rng.standard_normal((n, 1)))
+    kerns = [Matern12sm.create(1.0, 0.2, [1.0], [8.0]),
+             Matern12sm.create(1.0, 0.3, [1.0], [16.0]),
+             Matern12sm.create(0.5, 0.25, [1.0], [24.0])]
+    z = np.asarray(x)[::2]
+    plain = SGPRSS.create(x, y, kerns[0] + kerns[1] + kerns[2], Z=z,
+                          noise_variance=0.1, reg=True)
+    stacked = SGPRSS.create(x, y, StackedSum.create(kerns), Z=z,
+                            noise_variance=0.1, reg=True)
+    np.testing.assert_allclose(float(stacked.elbo()), float(plain.elbo()),
+                               rtol=1e-10)
+    xnew = jnp.asarray(np.linspace(0, 1, 11).reshape(-1, 1))
+    m1, v1 = plain.predict_s(xnew)
+    m2, v2 = stacked.predict_s(xnew)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
+    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
