@@ -73,14 +73,16 @@ def run(backend, num_steps=2000, minibatch=100):
 
         return jax.lax.scan(body, (model, opt_state), keys)
 
-    # first call compiles; the timed second call measures pure execution
+    # first call compiles; the timed second call measures pure execution.
+    # Fence with a host scalar read — block_until_ready can return before the
+    # computation finishes on relayed/remote devices.
     (_, _), losses = run_steps(model, opt_state)
-    losses.block_until_ready()
+    float(losses[-1])
     t0 = time.perf_counter()
     (model2, _), losses = run_steps(model, opt_state)
-    losses.block_until_ready()
+    final = float(losses[-1])
     dt = time.perf_counter() - t0
-    return num_steps / dt, float(losses[-1])
+    return num_steps / dt, final
 
 
 def main():

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--dec", type=int, default=4)
     ap.add_argument("--num-inducing", type=int, default=64)
     ap.add_argument("--threshold", type=float, default=0.15)
+    ap.add_argument("--model-pitches", type=int, default=len(MIDIS),
+                    help="size of the pitch dictionary the model carries "
+                         "(3 = only the sounding notes; 88 = full piano, the "
+                         "reference AMT setting, transcription.py:30-33)")
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
 
@@ -40,9 +44,16 @@ def main():
     from gpitch_tpu.utils import midi2freq
 
     fs = 16000
+    # pitch dictionary: the sounding MIDIS plus (optionally) the rest of the
+    # 88-key piano range, as in the reference's 88-pitch MAPS setting
+    if args.model_pitches > len(MIDIS):
+        extra = [m for m in range(21, 109) if m not in MIDIS]
+        model_midis = sorted(list(MIDIS) + extra[:args.model_pitches - len(MIDIS)])
+    else:
+        model_midis = list(MIDIS)
     train = [synth_piano_note(fs=fs, seconds=2.0, f0=midi2freq(m), seed=m)[1]
-             for m in MIDIS]
-    names = [f"demo_M{m}_train.wav" for m in MIDIS]
+             for m in model_midis]
+    names = [f"demo_M{m}_train.wav" for m in model_midis]
 
     notes = [synth_piano_note(fs=fs, seconds=args.seconds, f0=midi2freq(m),
                               onset=o, noise=0.0, seed=200 + m)[1]
@@ -54,9 +65,10 @@ def main():
 
     t0 = time.perf_counter()
     model = AMT(train_signals=train, train_names=names, fs=fs, test=(x, y),
-                pitches=list(MIDIS), kernel_mode="fft", max_par=args.max_par,
+                pitches=model_midis, kernel_mode="fft", max_par=args.max_par,
                 dec=args.dec, num_inducing=args.num_inducing)
-    print(f"built {model.nwin}-window bank in {time.perf_counter() - t0:.1f}s")
+    print(f"built {model.nwin}-window bank in {time.perf_counter() - t0:.1f}s "
+          f"({len(model_midis)}-pitch dictionary)")
 
     losses, (compile_s, run_s) = model.optimize(maxiter=args.maxiter,
                                                 learning_rate=args.lr,
@@ -68,11 +80,17 @@ def main():
     print(f"throughput: {args.seconds * args.maxiter / run_s:.0f} "
           f"audio-seconds optimized per second")
 
-    # ground-truth roll at window centers
+    # ground-truth roll at window centers (silent rows for non-sounding pitches)
     hop = (model.window_size - 1) // 2
     centers = (np.arange(model.nwin) * hop + model.window_size // 2) / fs
-    ref = np.stack([(centers >= o) & (centers <= o + DUR) for o in ONSETS])
-    est = model.pianoroll_estimate(threshold=args.threshold)
+    onset_of = dict(zip(MIDIS, ONSETS))
+    ref = np.stack([(centers >= onset_of[m]) & (centers <= onset_of[m] + DUR)
+                    if m in onset_of else np.zeros_like(centers, dtype=bool)
+                    for m in model_midis])
+    # per-pitch row normalization amplifies noise on silent rows; use the
+    # global scale when the dictionary is larger than the sounding set
+    est = model.pianoroll_estimate(threshold=args.threshold,
+                                   per_pitch=len(model_midis) == len(MIDIS))
     p, r, f = f_measure(est, ref)
     print(f"frame-level precision {p:.3f}  recall {r:.3f}  F-measure {f:.3f}")
 
@@ -84,9 +102,10 @@ def main():
         for ax, mat, title in ((axes[0], model.matrix_var, "variance envelope"),
                                (axes[1], est, "pianoroll estimate")):
             ax.imshow(np.asarray(mat), aspect="auto", origin="lower",
-                      extent=[0, model.nwin / win_fs, 0, len(MIDIS)])
-            ax.set_yticks(np.arange(len(MIDIS)) + 0.5)
-            ax.set_yticklabels([str(m) for m in MIDIS])
+                      extent=[0, model.nwin / win_fs, 0, len(model_midis)])
+            if len(model_midis) <= 12:
+                ax.set_yticks(np.arange(len(model_midis)) + 0.5)
+                ax.set_yticklabels([str(m) for m in model_midis])
             ax.set_title(title)
         axes[1].set_xlabel("time (s)")
         fig.savefig("demo-transcription.png", dpi=100)

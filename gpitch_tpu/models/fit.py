@@ -113,15 +113,17 @@ def fit_adam_timed(model, loss_fn: Callable, num_steps: int,
     key = key if key is not None else jax.random.PRNGKey(0)
     run = _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key)
 
-    t0 = time.perf_counter()
-    out = run(model, opt_state)
-    jax.block_until_ready(out)
-    first_s = time.perf_counter() - t0
+    # fence with a host transfer, NOT block_until_ready: remote-device relays
+    # can mark buffers ready before execution finishes, and a dependent scalar
+    # read is the only fence that cannot lie
+    def fenced():
+        t0 = time.perf_counter()
+        out = run(model, opt_state)
+        float(out[1][-1])
+        return out, time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = run(model, opt_state)
-    jax.block_until_ready(out)
-    run_s = time.perf_counter() - t0
+    out, first_s = fenced()
+    out, run_s = fenced()
 
     (model, _), losses = out
     return model, losses, max(first_s - run_s, 0.0), run_s

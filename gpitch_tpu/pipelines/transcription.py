@@ -121,8 +121,9 @@ class AMT:
         self.matrix_var = np.asarray(pitch_variances(self.bank))
         return (losses, timing) if timed else losses
 
-    def pianoroll_estimate(self, threshold: float = 0.02):
-        return pianoroll_from_variances(self.matrix_var, threshold)
+    def pianoroll_estimate(self, threshold: float = 0.02,
+                           per_pitch: bool = True):
+        return pianoroll_from_variances(self.matrix_var, threshold, per_pitch)
 
     def evaluate(self, threshold: float = 0.02):
         """Frame-level F-measure vs the ground-truth pianoroll, resampled to
