@@ -19,7 +19,8 @@ import numpy as np
 
 __all__ = ["hann", "windowed", "segmented", "augmentate", "trim_n_merge",
            "ola_weights", "overlap_add", "merged_mean", "merged_variance",
-           "merged_x", "window_stack", "num_windows"]
+           "merged_x", "merged_y", "window_stack", "num_windows",
+           "get_results_arrays", "get_results_arrays_noov"]
 
 
 def hann(ws: int) -> np.ndarray:
@@ -155,6 +156,42 @@ def merged_x(x, ws: int):
     for i in range(1, nw):
         out[i * ll: i * ll + ws] = np.asarray(x[i]).reshape(-1)
     return out.reshape(-1, 1)
+
+
+def merged_y(y, ws: int):
+    """Hann overlap-add of data/estimate windows back to one signal.
+
+    The reference calls an *undefined* ``merged_y`` from get_results_arrays
+    (window_overlap.py:107-112, dead code); this is the working definition —
+    COLA reconstruction, so merging the output of ``windowed`` returns the
+    original signal exactly (pinned in tests/test_windowing.py)."""
+    windows = _asarray2d(y)
+    nw = windows.shape[0]
+    ll = (ws - 1) // 2
+    n = ll * (nw - 1) + ws
+    return merged_mean(windows, ws, n)
+
+
+def get_results_arrays(x, y, sl, ws: int):
+    """Merge per-window source estimates into full-length arrays
+    (window_overlap.py:106-123, repaired): ``sl`` is a list of per-source
+    window lists.  Returns (x, y, [s_i]) trimmed to a common length."""
+    s_merged = [merged_y(s, ws) for s in sl]
+    x_m = merged_x(x, ws)
+    y_m = merged_y(y, ws)
+    s_trim = [s[:-1].reshape(-1, 1) for s in s_merged]
+    return x_m[:-1].reshape(-1, 1), y_m[:-1].reshape(-1, 1), s_trim
+
+
+def get_results_arrays_noov(x, y, results, window_size: int):
+    """Non-overlapping variant (window_overlap.py:126-137, repaired to actually
+    accumulate all five quantities instead of only the last)."""
+    out = []
+    for quantity in results:
+        out.append([np.asarray(src).reshape(-1, 1) for src in quantity])
+    x_ar = np.asarray(x).reshape(-1, 1)
+    y_ar = np.asarray(y).reshape(-1, 1)
+    return x_ar, y_ar, out
 
 
 def _asarray2d(y):

@@ -19,7 +19,21 @@ __all__ = [
     "default_jitter",
     "set_jitter",
     "NumericsConfig",
+    "init_settings",
 ]
+
+
+def init_settings(visible_device: str | None = None, interactive: bool = False,
+                  run_on_server: bool = False):
+    """TPU-native replacement for the reference's session/GPU bootstrap
+    (methods.py:155-180, which sets CUDA_VISIBLE_DEVICES and builds a TF1
+    session).  JAX needs neither: returns the live device list in place of a
+    session, plus the dataset root path the reference derives from
+    ``run_on_server`` ('/import/' vs '/').  ``visible_device``/``interactive``
+    are accepted for signature parity and ignored."""
+    del visible_device, interactive
+    path = "/import/" if run_on_server else "/"
+    return jax.devices(), path
 
 
 def default_float() -> jnp.dtype:

@@ -16,7 +16,7 @@ import numpy as np
 from ..config import default_float
 
 __all__ = ["hermgauss", "gauss_hermite_moments", "expectation_gaussian_nonlin",
-           "mvhermgauss"]
+           "mvhermgauss", "hermgauss1d"]
 
 
 @lru_cache(maxsize=None)
@@ -46,6 +46,11 @@ def gauss_hermite_moments(mean, var, nlinfun, h: int = 20):
     e1 = jnp.einsum("...h,h->...", f, gh_w)
     e2 = jnp.einsum("...h,h->...", f * f, gh_w)
     return e1, e2
+
+
+# 1-D (E[phi(g)], E[phi(g)^2]) quadrature — the reference's name for it
+# (likelihoods.py:33-45); the batched implementation handles the 1-D case.
+hermgauss1d = gauss_hermite_moments
 
 
 def mvhermgauss(means, covs, h: int, d: int):

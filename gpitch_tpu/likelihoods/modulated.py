@@ -25,7 +25,7 @@ from ..core.quadrature import gauss_hermite_moments
 from ..core.transforms import Positive
 from ..utils.math import logistic
 
-__all__ = ["ModulatedLikelihood", "ModLik", "LooLik", "SsLik",
+__all__ = ["ModulatedLikelihood", "ModLik", "LooLik", "SsLik", "MpdLik",
            "exp_value_closed_form", "gaussian_logdensity", "log_lik_exp"]
 
 
@@ -108,6 +108,12 @@ class ModulatedLikelihood:
         var_g, var_f = self.split(Fvar)
         e1, e2 = self.moments(mean_g, var_g)
         return log_lik_exp(Y, mean_f, var_f, e1, e2, self.variance.value)
+
+
+# The reference's general K-source likelihood (MpdLik, likelihoods.py:279-447)
+# already uses the [g_1..g_K, f_1..f_K] column convention that
+# ModulatedLikelihood implements natively, so it IS the base class.
+MpdLik = ModulatedLikelihood
 
 
 def _swap_fg(F, s):

@@ -64,6 +64,10 @@ class GPR:
                 - jnp.sum(jnp.log(jnp.diag(L)))
                 - 0.5 * n * _LOG2PI)
 
+    def build_likelihood(self):
+        """Reference (gpflow GPR) name for the training objective."""
+        return self.log_marginal_likelihood()
+
     def loss(self):
         return -self.log_marginal_likelihood()
 
@@ -151,6 +155,10 @@ class SGPR:
         if self.reg:
             bound = bound - self.reg_beta * self._l1_variances()
         return bound
+
+    def build_likelihood(self):
+        """Reference name for the collapsed Titsias bound (sgpr_ss.py:29-71)."""
+        return self.elbo()
 
     def _l1_variances(self):
         """L1 penalty over per-pitch kernel variances (sgpr_ss.py:17-27, 64-68)."""

@@ -223,6 +223,14 @@ class ModGP:
         scale = 1.0 if num_data is None else num_data / n
         return jnp.sum(var_exp) * scale - self.prior_kl()
 
+    def build_prior_kl(self):
+        """Reference name (pdgp.py:113-131)."""
+        return self.prior_kl()
+
+    def build_likelihood(self, x, y, num_data: int | None = None):
+        """Reference name for the ELBO (pdgp.py:133-170)."""
+        return self.elbo(x, y, num_data)
+
     def loss(self, x, y, num_data: int | None = None):
         return -self.elbo(x, y, num_data)
 

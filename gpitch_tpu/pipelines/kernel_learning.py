@@ -25,7 +25,9 @@ from ..models.fit import fit_lbfgs
 from ..utils.math import find_ideal_f0
 
 __all__ = ["sample_cov", "autocorr", "approximate_kernel", "fit_kernel",
-           "gabor_sum", "fit_kernel_gabor"]
+           "gabor_sum", "fit_kernel_gabor", "get_samples", "comatrix",
+           "get_cov", "fit", "fit2", "sample_cov_psd",
+           "approximate_kernel_expdecay", "optimize_kern"]
 
 
 def sample_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
@@ -41,6 +43,28 @@ def sample_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
     kern = cov[0, :].copy().reshape(-1, 1)
     kern /= np.max(np.abs(kern))
     return cov, kern, windows
+
+
+def get_samples(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
+    """(num_sam, size) matrix of random windows (samplecov.py:5-14)."""
+    y = np.asarray(y).reshape(-1)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, y.size - size, size=num_sam)
+    return y[idx[:, None] + np.arange(size)[None, :]]
+
+
+def comatrix(samples):
+    """Average outer product of sample windows (samplecov.py:17-37) as one
+    X^T X matmul instead of the reference's per-sample session loop."""
+    w = jnp.asarray(np.asarray(samples))
+    return np.asarray(jnp.matmul(w.T, w, preferred_element_type=w.dtype)) / w.shape[0]
+
+
+def get_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
+    """(cov, kern): sampled covariance and its normalized first row — the
+    reference's public entry point (samplecov.py:40-53)."""
+    cov, kern, _ = sample_cov(y, num_sam=num_sam, size=size, seed=seed)
+    return cov, kern
 
 
 def autocorr(y, size: int):
@@ -128,3 +152,44 @@ def fit_kernel_gabor(kern, audio, file_name, max_par: int, fs: float,
     popt = jnp.sqrt(jnp.square(popt))
     return (np.asarray(popt), np.asarray(gabor_sum(xkern, p0)),
             np.asarray(gabor_sum(xkern, popt)))
+
+
+# Reference entry-point names (kernelfit.py:61-87 ``fit``, 90-122 ``fit2``).
+fit = fit_kernel
+fit2 = fit_kernel_gabor
+
+
+def sample_cov_psd(y, niter: int = 1000, msize: int = 441, seed: int = 0):
+    """Sampled covariance with explicit PSD projection via Cholesky of the
+    jittered estimate (covsamp.py:5-18).  One batched matmul instead of the
+    reference's per-sample outer-product loop."""
+    s = get_samples(y, num_sam=niter, size=msize, seed=seed)
+    cov = comatrix(s) * niter  # reference accumulates without the 1/niter mean
+    cov = cov / np.max(cov)
+    lower = np.linalg.cholesky(cov + 1e-6 * np.eye(msize))
+    return lower @ lower.T, list(s)
+
+
+def approximate_kernel_expdecay(p, x):
+    """Exponential-decay (Matern-1/2) envelope variant of the spectral-mixture
+    fit form (covsamp.py:29-52): exp(-|x|/l) * sum v_i cos(2 pi f_i |x|)."""
+    p = jnp.asarray(p)
+    x = jnp.abs(jnp.asarray(x).reshape(-1))
+    npartials = (p.shape[0] - 2) // 2
+    ell = jnp.sqrt(p[1] * p[1])
+    v = jnp.sqrt(jnp.square(p[2:2 + npartials]))
+    f = jnp.sqrt(jnp.square(p[2 + npartials:2 + 2 * npartials]))
+    mix = jnp.sum(v[None, :] * jnp.cos(2.0 * jnp.pi * f[None, :] * x[:, None]), axis=1)
+    return jnp.exp(-x / ell) * mix
+
+
+def optimize_kern(x, y, p0, num_steps: int = 250):
+    """Fit the exp-decay kernel form to observations (covsamp.py:55-58):
+    L-BFGS over RMSE with the sqrt(p^2) positivity trick, jitted end-to-end
+    instead of scipy on the host."""
+    xj = jnp.asarray(np.asarray(x).reshape(-1))
+    target = jnp.asarray(np.asarray(y).reshape(-1))
+    loss = lambda p: jnp.sqrt(jnp.mean(jnp.square(
+        approximate_kernel_expdecay(p, xj) - target)))
+    pstar, _ = fit_lbfgs(jnp.asarray(p0), loss, num_steps=num_steps)
+    return np.sqrt(np.asarray(pstar) ** 2)

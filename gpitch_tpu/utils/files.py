@@ -14,7 +14,8 @@ import numpy as np
 
 from .math import logistic
 
-__all__ = ["load_filenames", "merge_all_results", "append_sources"]
+__all__ = ["load_filenames", "merge_all_results", "merge_all",
+           "append_sources", "loadm", "load_pitch_params_data"]
 
 
 def load_filenames(directory, pattern, pitches=None, ext=".wav"):
@@ -33,6 +34,50 @@ def merge_all_results(inlist):
     nq = len(inlist[0])
     ns = len(inlist[0][0])
     return [[[seg[q][s] for seg in inlist] for s in range(ns)] for q in range(nq)]
+
+
+# Reference name for the result-list transpose (window_overlap.py:77-92).
+merge_all = merge_all_results
+
+
+def loadm(directory, pattern=""):
+    """Load every checkpointed object in ``directory`` matching ``pattern``
+    -> (objects, filenames).  Rebuilds methods.py:16-23, with numpy archives
+    instead of the reference's pickles (no arbitrary-code-execution on load)."""
+    names = sorted(f for f in os.listdir(directory) if pattern in f)
+    objs = []
+    for f in names:
+        d = np.load(os.path.join(directory, f), allow_pickle=True)
+        objs.append({k: d[k] for k in d.files} if hasattr(d, "files") else d)
+    return objs, names
+
+
+def load_pitch_params_data(pitch_list, data_loc, params_loc,
+                           intensity="F", frames=32000, start=5000,
+                           fs=16000.0):
+    """Per-pitch MAPS training data + learned kernel params
+    (methods.py:236-263, repaired: the reference calls undefined
+    ``load_filename_list``/``wavread``).  Matches pitches against filenames by
+    the MAPS '_M<midi>_' convention, reads ``frames`` samples from ``start``,
+    loads 'params_act_<name>.npz' archives."""
+    from ..audio.io import readaudio
+
+    pitch_list = np.asarray(pitch_list).reshape(-1)
+    wavs = sorted(f for f in os.listdir(data_loc) if f.endswith(".wav"))
+    final_list, train_data, params = [], [], []
+    for pitch in pitch_list:
+        hits = [f for f in wavs if f"_M{int(pitch)}_" in f and intensity in f]
+        if not hits:
+            continue
+        name = hits[0][:-4]
+        final_list.append(name)
+        x, y, _ = readaudio(os.path.join(data_loc, hits[0]),
+                            frames=frames, start=start)
+        train_data.append(y)
+        ppath = os.path.join(params_loc, "params_act_" + name + ".npz")
+        params.append(dict(np.load(ppath, allow_pickle=True))
+                      if os.path.exists(ppath) else None)
+    return np.asarray(final_list).reshape(-1), train_data, params
 
 
 def append_sources(rmerged):

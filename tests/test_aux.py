@@ -129,3 +129,98 @@ def test_viz_imports_and_smoke(tmp_path):
     plt.figure()
     plot_pianoroll(np.zeros((88, 40)))
     plt.close("all")
+
+
+def test_parity_surface_aliases():
+    """Every reference public name from SURVEY.md section 2 resolves."""
+    import gpitch_tpu as g
+    from gpitch_tpu.audio import windowing
+    from gpitch_tpu.core.quadrature import hermgauss1d
+    from gpitch_tpu.likelihoods import MpdLik, ModulatedLikelihood
+    from gpitch_tpu.pipelines import kernel_learning as kl
+
+    assert MpdLik is ModulatedLikelihood
+    assert kl.fit is kl.fit_kernel and kl.fit2 is kl.fit_kernel_gabor
+    assert g.merge_all is g.utils.files.merge_all_results
+    devices, path = g.init_settings(run_on_server=False)
+    assert len(devices) >= 1 and path == "/"
+
+    # hermgauss1d matches analytic Gaussian moments of identity nonlinearity
+    m = np.array([[0.3, -1.2]])
+    v = np.array([[0.5, 2.0]])
+    e1, e2 = hermgauss1d(m, v, lambda x: x, 20)
+    np.testing.assert_allclose(np.asarray(e1), m, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(e2), v + m * m, atol=1e-8)
+
+    # merged_y is COLA-exact: windowed -> merged_y reconstructs the signal
+    n, ws = 5001, 1001
+    sig = np.sin(np.linspace(0, 20, n))
+    xs, ys = windowing.windowed(np.arange(n), sig, ws)
+    rec = windowing.merged_y(ys, ws)
+    keep = rec.shape[0]
+    np.testing.assert_allclose(rec.reshape(-1), sig[:keep], atol=1e-10)
+
+    x_m, y_m, s = windowing.get_results_arrays(xs, ys, [ys, ys, ys], ws)
+    assert x_m.shape == y_m.shape == s[0].shape
+
+
+def test_get_cov_and_samples():
+    from gpitch_tpu.pipelines.kernel_learning import comatrix, get_cov, get_samples
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=4000)
+    s = get_samples(y, num_sam=200, size=32, seed=0)
+    assert s.shape == (200, 32)
+    cov = comatrix(s)
+    assert cov.shape == (32, 32)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-10)
+    cov2, kern = get_cov(y, num_sam=200, size=32, seed=0)
+    np.testing.assert_allclose(cov2, cov, atol=1e-8)
+    assert abs(np.abs(kern).max() - 1.0) < 1e-12
+
+
+def test_loadm_and_pitch_params(tmp_path):
+    from scipy.io import wavfile
+
+    from gpitch_tpu.utils.files import load_pitch_params_data, loadm
+
+    np.savez(tmp_path / "model_a.npz", w=np.arange(3.0))
+    np.savez(tmp_path / "model_b.npz", w=np.arange(4.0))
+    objs, names = loadm(str(tmp_path), pattern="model")
+    assert len(objs) == 2 and names == ["model_a.npz", "model_b.npz"]
+    np.testing.assert_allclose(objs[0]["w"], np.arange(3.0))
+
+    data = tmp_path / "maps"
+    params = tmp_path / "params"
+    data.mkdir(); params.mkdir()
+    wavfile.write(str(data / "011PFNOF_M60_F_train.wav"), 16000,
+                  np.random.default_rng(0).normal(size=9000).astype(np.float32))
+    np.savez(params / "params_act_011PFNOF_M60_F_train.npz", l=np.ones(1))
+    names, train, prm = load_pitch_params_data([60], str(data), str(params),
+                                               frames=2000, start=100)
+    assert list(names) == ["011PFNOF_M60_F_train"]
+    assert train[0].shape == (2000, 1)
+    assert prm[0] is not None and "l" in prm[0]
+
+
+def test_covsamp_variants():
+    from gpitch_tpu.pipelines.kernel_learning import (
+        approximate_kernel_expdecay, optimize_kern, sample_cov_psd)
+
+    rng = np.random.default_rng(2)
+    t = np.linspace(0, 0.02, 64)
+    y = np.cos(2 * np.pi * 440 * np.linspace(0, 1, 8000)) \
+        + 0.01 * rng.normal(size=8000)
+    cov, samples = sample_cov_psd(y, niter=300, msize=32, seed=0)
+    assert cov.shape == (32, 32) and len(samples) == 300
+    # PSD by construction
+    w = np.linalg.eigvalsh(cov)
+    assert w.min() > -1e-8
+
+    # recover (l, v, f) of a clean exp-decay cosine kernel
+    p_true = np.array([0.0, 0.01, 1.0, 440.0])
+    target = np.asarray(approximate_kernel_expdecay(p_true, t))
+    p0 = np.array([0.0, 0.02, 0.8, 430.0])
+    pstar = optimize_kern(t, target, p0, num_steps=200)
+    fitted = np.asarray(approximate_kernel_expdecay(pstar, t))
+    assert np.sqrt(np.mean((fitted - target) ** 2)) < 0.05
