@@ -51,13 +51,26 @@ def absdist(X, X2=None):
 
 
 class Kernel:
-    """Mixin providing combination operators; concrete kernels add K/Kdiag."""
+    """Mixin providing combination operators; concrete kernels add K/Kdiag.
+
+    Stationary kernels additionally implement ``k_r(r)`` — the kernel value as
+    a function of distance alone.  That one method unlocks the uniform-grid
+    fast path (models/sgpr.py): on windowed audio every input lies on the
+    sample grid, so K is a gather from a length-O(N) lag table instead of an
+    (N, M) field of transcendentals — the difference between ~10^7 and ~10^3
+    exp/cos evaluations per covariance build at AMT scale.
+    """
 
     def K(self, X, X2=None):
         raise NotImplementedError
 
     def Kdiag(self, X):
         raise NotImplementedError
+
+    def k_r(self, r):
+        """Stationary evaluation k(|x-x'|=r); r any-shape array of distances.
+        Only defined for stationary kernels."""
+        raise NotImplementedError(f"{type(self).__name__} is not stationary")
 
     def __add__(self, other):
         return Sum(kern_list=_flatten_combination(self, other, Sum))
@@ -94,6 +107,10 @@ class Sum(Kernel):
 
     def Kdiag(self, X):
         parts = [k.Kdiag(X) for k in self.kern_list]
+        return sum(parts[1:], parts[0])
+
+    def k_r(self, r):
+        parts = [k.k_r(r) for k in self.kern_list]
         return sum(parts[1:], parts[0])
 
 
@@ -133,6 +150,15 @@ class StackedSum(Kernel):
         """(S, N) diagonals of every term."""
         return jax.vmap(lambda k: k.Kdiag(X))(self.stacked)
 
+    def k_r(self, r):
+        """Summed stationary evaluation: S per-pitch tables collapse into ONE
+        before any gather — the 88-pitch AMT kernel costs one table."""
+        return jnp.sum(self.k_r_terms(r), axis=0)
+
+    def k_r_terms(self, r):
+        """(S, ...) per-term stationary evaluations."""
+        return jax.vmap(lambda k: k.k_r(r))(self.stacked)
+
     @property
     def kern_list(self):
         """Unstacked view (Sum-compatible).  Do not use inside jit hot loops —
@@ -154,6 +180,12 @@ class Product(Kernel):
         out = self.kern_list[0].Kdiag(X)
         for k in self.kern_list[1:]:
             out = out * k.Kdiag(X)
+        return out
+
+    def k_r(self, r):
+        out = self.kern_list[0].k_r(r)
+        for k in self.kern_list[1:]:
+            out = out * k.k_r(r)
         return out
 
 

@@ -29,7 +29,7 @@ from .base import Kernel, absdist
 
 __all__ = ["Matern12sm", "Matern32sm", "Matern32smOld", "Matern32sml",
            "MercerMatern12sm", "MercerCosMix", "Spectrum", "Spectrum2",
-           "cosine_features", "cos_mixture"]
+           "cosine_features", "cos_mixture", "cos_mixture_r"]
 
 
 def cosine_features(X, energy, frequency):
@@ -48,6 +48,13 @@ def cos_mixture(X, X2, energy, frequency):
     phi = cosine_features(X, energy, frequency)
     phi2 = phi if X2 is None else cosine_features(X2, energy, frequency)
     return jnp.matmul(phi, phi2.T, preferred_element_type=phi.dtype)
+
+
+def cos_mixture_r(r, energy, frequency):
+    """sum_i e_i cos(2 pi f_i r) evaluated directly on distances r (any shape);
+    identical values to ``cos_mixture`` — the stationary (k_r) form."""
+    ang = 2.0 * jnp.pi * r[..., None] * frequency
+    return jnp.sum(energy * jnp.cos(ang), axis=-1)
 
 
 @module
@@ -89,6 +96,10 @@ class Matern12sm(Kernel):
     def Kdiag(self, X):
         v = self.variance.value * jnp.sum(self.energy.value)
         return jnp.full((X.shape[0],), v, dtype=X.dtype)
+
+    def k_r(self, r):
+        mix = cos_mixture_r(r, self.energy.value, self.frequency.value)
+        return self.variance.value * jnp.exp(-r / self.lengthscales.value) * mix
 
 
 @module
@@ -155,6 +166,11 @@ class Matern32sm(Kernel):
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), jnp.sum(self.variance.value), dtype=X.dtype)
 
+    def k_r(self, r):
+        r1 = np.sqrt(3.0) * r / self.lengthscales.value
+        mix = cos_mixture_r(r, self.variance.value, self.frequency.value)
+        return (1.0 + r1) * jnp.exp(-r1) * mix
+
 
 @module
 class Matern32smOld(Matern32sm):
@@ -218,6 +234,12 @@ class Matern32sml(Kernel):
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), jnp.sum(self.variance.value), dtype=X.dtype)
 
+    def k_r(self, r):
+        ls, vs, fs = self.lengthscales.value, self.variance.value, self.frequency.value
+        r1 = np.sqrt(3.0) * r[..., None] / ls       # (..., P)
+        cosr = jnp.cos(2.0 * jnp.pi * fs * r[..., None])
+        return jnp.sum(vs * (1.0 + r1) * jnp.exp(-r1) * cosr, axis=-1)
+
 
 @module
 class MercerCosMix(Kernel):
@@ -252,6 +274,10 @@ class MercerCosMix(Kernel):
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
 
+    def k_r(self, r):
+        return self.variance.value * cos_mixture_r(r, self.energy.value,
+                                                   self.frequency.value)
+
 
 @module
 class Spectrum(Kernel):
@@ -276,6 +302,10 @@ class Spectrum(Kernel):
 
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
+
+    def k_r(self, r):
+        return self.variance.value * cos_mixture_r(r, self.energy.value,
+                                                   self.frequency.value)
 
 
 @module

@@ -42,11 +42,19 @@ class Stationary(Kernel):
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
 
+    def k_r(self, r):
+        return self._k_scaled(r / self.lengthscales.value)
+
+    def _k_scaled(self, r):
+        raise NotImplementedError
+
 
 @module
 class RBF(Stationary):
     def K(self, X, X2=None):
-        r = self._r(X, X2)
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
         return self.variance.value * jnp.exp(-0.5 * r * r)
 
 
@@ -56,7 +64,10 @@ class Matern12(Stationary):
     (init_models.py:83)."""
 
     def K(self, X, X2=None):
-        return self.variance.value * jnp.exp(-self._r(X, X2))
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
+        return self.variance.value * jnp.exp(-r)
 
 
 @module
@@ -64,7 +75,10 @@ class Matern32(Stationary):
     """Activation kernel of init_kern_act (init_kernels.py:12)."""
 
     def K(self, X, X2=None):
-        r = np.sqrt(3.0) * self._r(X, X2)
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
+        r = np.sqrt(3.0) * r
         return self.variance.value * (1.0 + r) * jnp.exp(-r)
 
 
@@ -73,7 +87,10 @@ class Matern52(Stationary):
     """Component base kernel of init_models.init_kern (init_models.py:190)."""
 
     def K(self, X, X2=None):
-        r = np.sqrt(5.0) * self._r(X, X2)
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
+        r = np.sqrt(5.0) * r
         return self.variance.value * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
 
 
@@ -93,10 +110,13 @@ class Cosine(Kernel):
 
     def K(self, X, X2=None):
         r = absdist(X, X2)
-        return self.variance.value * jnp.cos(2.0 * jnp.pi * self.frequency.value * r)
+        return self.k_r(r)
 
     def Kdiag(self, X):
         return jnp.full((X.shape[0],), self.variance.value, dtype=X.dtype)
+
+    def k_r(self, r):
+        return self.variance.value * jnp.cos(2.0 * jnp.pi * self.frequency.value * r)
 
 
 @module
@@ -112,7 +132,9 @@ class Gammaexponential(Stationary):
                    gamma=Param.create(gamma, Logistic(1e-5, 2.0)))
 
     def K(self, X, X2=None):
-        r = self._r(X, X2)
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
         return self.variance.value * jnp.exp(-jnp.power(r + 1e-12, self.gamma.value))
 
 
@@ -121,7 +143,9 @@ class LogisticHat(Stationary):
     """Difference of steep logistics of distance ('hat') — kernels.py:379-390."""
 
     def K(self, X, X2=None):
-        r = self._r(X, X2)
+        return self._k_scaled(self._r(X, X2))
+
+    def _k_scaled(self, r):
         f1 = 1.0 / (1.0 + jnp.exp(100.0 * (-1.0 - r)))
         f2 = 1.0 / (1.0 + jnp.exp(100.0 * (1.0 - r)))
         return self.variance.value * (f1 - f2)

@@ -99,36 +99,80 @@ class SGPR:
     mask: Any = None              # (N,) float or None
     reg: bool = static_field(False)
     reg_beta: float = static_field(1000.0)
+    grid_dt: Any = static_field(None)   # uniform-grid spacing or None
+    num_lags: int = static_field(0)     # static lag-table length (grid mode)
     numerics: NumericsConfig = static_field(NumericsConfig())
 
     @classmethod
     def create(cls, X, Y, kern, Z, noise_variance=1.0, mask=None, reg=False,
-               numerics=NumericsConfig()):
+               numerics=NumericsConfig(), grid_dt=None):
+        """``grid_dt``: if every X and Z value is an integer multiple of
+        grid_dt (windowed audio — consecutive samples + on-grid inducing
+        points), the hot covariance builds become a single stationary lag
+        table of length N+M gathered by integer lag, instead of O(N*M)
+        transcendental evaluations per pitch.  Exact, not an approximation:
+        k(|x-x'|) only takes N+M distinct values on a uniform grid.  Requires
+        ``kern.k_r``; validated here (concrete numpy) so jit never sees it.
+        """
+        num_lags = 0
+        if grid_dt is not None:
+            import numpy as _np
+            xv = _np.asarray(X).reshape(-1) / grid_dt
+            zv = _np.asarray(Z).reshape(-1) / grid_dt
+            if (_np.max(_np.abs(xv - _np.round(xv))) > 1e-3
+                    or _np.max(_np.abs(zv - _np.round(zv))) > 1e-3):
+                raise ValueError("grid_dt: inputs are not on the grid")
+            kern.k_r(jnp.zeros(()))  # raises NotImplementedError if unsupported
+            num_lags = xv.shape[0] + zv.shape[0] + 1
         return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
                    X=Param.create(X, trainable=False),
                    Y=Param.create(Y, trainable=False),
                    Z=Param.create(jnp.asarray(Z).reshape(-1, 1), trainable=False),
                    mask=None if mask is None else Param.create(jnp.asarray(mask),
                                                                trainable=False),
-                   reg=reg, numerics=numerics)
+                   reg=reg, grid_dt=grid_dt, num_lags=num_lags,
+                   numerics=numerics)
 
     @property
     def mask_value(self):
         return None if self.mask is None else self.mask.value
+
+    # ------------------------------------------------- grid (lag-table) path
+    def _grid_indices(self):
+        """Integer grid positions of X and Z, offset to start at 0."""
+        x, z = self.X.value[:, 0], self.Z.value[:, 0]
+        t0 = jnp.minimum(jnp.min(x), jnp.min(z))
+        ix = jnp.round((x - t0) / self.grid_dt).astype(jnp.int32)
+        iz = jnp.round((z - t0) / self.grid_dt).astype(jnp.int32)
+        return ix, iz
+
+    def _lag_table(self):
+        """k(l * grid_dt) for l = 0..num_lags-1 — one table for the whole
+        (possibly 88-pitch summed) kernel."""
+        dtype = self.X.value.dtype
+        r = jnp.arange(self.num_lags, dtype=dtype) * jnp.asarray(self.grid_dt, dtype)
+        return self.kern.k_r(r)
 
     # ------------------------------------------------------------- bound
     def _common(self):
         x, y, z = self.X.value, self.Y.value, self.Z.value
         sigma2 = self.variance.value
         err = y
-        kdiag = self.kern.Kdiag(x)
-        kuf = self.kern.K(z, x)
+        if self.grid_dt is not None:
+            ix, iz = self._grid_indices()
+            table = self._lag_table()
+            kuf = table[jnp.abs(iz[:, None] - ix[None, :])]
+            kuu = table[jnp.abs(iz[:, None] - iz[None, :])]
+            kdiag = jnp.full((x.shape[0],), table[0], dtype=x.dtype)
+        else:
+            kdiag = self.kern.Kdiag(x)
+            kuf = self.kern.K(z, x)
+            kuu = self.kern.K(z)
         if self.mask is not None:
             mv = self.mask_value
             err = err * mv[:, None]
             kdiag = kdiag * mv
             kuf = kuf * mv[None, :]
-        kuu = self.kern.K(z)
         # chol_inv: downstream solves and the whole VJP become MXU matmuls
         _, L_inv = safe_chol_inv(kuu, self.numerics.jitter_value())
         A = (L_inv @ kuf) / jnp.sqrt(sigma2)
@@ -200,7 +244,11 @@ class SGPRSS(SGPR):
         """[(N,1) means], [(N,1) vars] per source — sgpr_ss.py:92-106."""
         x, y = self.X.value, self.Y.value
         sigma2 = self.variance.value
-        kxx = self.kern.K(x)
+        if self.grid_dt is not None:
+            ix, _ = self._grid_indices()
+            kxx = self._lag_table()[jnp.abs(ix[:, None] - ix[None, :])]
+        else:
+            kxx = self.kern.K(x)
         if self.mask is not None:
             m = self.mask_value
             # padded rows/cols become unit-diagonal noise, decoupled from data

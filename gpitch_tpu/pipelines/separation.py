@@ -120,7 +120,9 @@ class SoSp:
         for i in range(self.nwin):
             z, _ = init_liv(self.xw[i], self.yw[i], num_sources=1, dec=dec)
             z_list.append(z[0][0])
-        self.z = pad_inducing(z_list, num_inducing)      # (nw, M, 1)
+        self.grid_dt = 1.0 / fs
+        self.z = pad_inducing(z_list, num_inducing,
+                              grid_dt=self.grid_dt)      # (nw, M, 1)
 
         self.reg = reg
         self.bank = self._build_bank()
@@ -135,8 +137,16 @@ class SoSp:
         return sum_kernel(kerns)
 
     def _build_bank(self):
-        return build_window_bank(self.xw, self.yw, self.z, self._kern_builder,
-                                 noise_variance=1.0, reg=self.reg)
+        # audio windows are consecutive samples -> lag-table covariance path;
+        # fall back to direct evaluation for off-grid custom time vectors
+        try:
+            return build_window_bank(self.xw, self.yw, self.z,
+                                     self._kern_builder, noise_variance=1.0,
+                                     reg=self.reg, grid_dt=self.grid_dt)
+        except (ValueError, NotImplementedError):
+            return build_window_bank(self.xw, self.yw, self.z,
+                                     self._kern_builder, noise_variance=1.0,
+                                     reg=self.reg)
 
     # ------------------------------------------------------------- training
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,

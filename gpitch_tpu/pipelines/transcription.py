@@ -89,7 +89,8 @@ class AMT:
         for i in range(self.nwin):
             z, _ = init_liv(self.xw[i], self.yw[i], num_sources=1, dec=dec)
             z_list.append(z[0][0])
-        self.z = pad_inducing(z_list, num_inducing)
+        self.grid_dt = 1.0 / fs
+        self.z = pad_inducing(z_list, num_inducing, grid_dt=self.grid_dt)
 
         self.reg = reg
         self.bank = self._build_bank()
@@ -101,9 +102,17 @@ class AMT:
         return sum_kernel(kerns)
 
     def _build_bank(self):
-        return build_window_bank(self.xw, self.yw, self.z, self._kern_builder,
-                                 noise_variance=1.0, reg=self.reg,
-                                 y_scale=self.y_scale)
+        # consecutive-sample windows -> lag-table covariance path (exact);
+        # fall back to direct evaluation for off-grid custom time vectors
+        try:
+            return build_window_bank(self.xw, self.yw, self.z,
+                                     self._kern_builder, noise_variance=1.0,
+                                     reg=self.reg, y_scale=self.y_scale,
+                                     grid_dt=self.grid_dt)
+        except (ValueError, NotImplementedError):
+            return build_window_bank(self.xw, self.yw, self.z,
+                                     self._kern_builder, noise_variance=1.0,
+                                     reg=self.reg, y_scale=self.y_scale)
 
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
                  method: str = "adam", timed: bool = False):

@@ -46,16 +46,19 @@ def sum_kernel(kerns):
     return Sum(kern_list=tuple(kerns))
 
 
-def pad_inducing(z_list, m: int | None = None):
+def pad_inducing(z_list, m: int | None = None, grid_dt=None):
     """Pad ragged per-window inducing sets to a common size (nw, M, 1).
 
     Extrema-based inducing sets have per-window counts (init_models.py:9-51);
     fixed shapes are required for batching.  Padding repeats the last point
     with tiny offsets — with jitter the extra near-duplicate points add no
-    capacity and leave the bound unchanged to numerical precision.
+    capacity and leave the bound unchanged to numerical precision.  With
+    ``grid_dt`` the offsets are whole grid steps, keeping the padded set on
+    the sample grid so the lag-table fast path stays exact.
     """
     z_list = [np.asarray(z).reshape(-1, 1) for z in z_list]
     m = m or max(z.shape[0] for z in z_list)
+    step = grid_dt if grid_dt is not None else 1e-4
     out = []
     for z in z_list:
         k = z.shape[0]
@@ -63,7 +66,7 @@ def pad_inducing(z_list, m: int | None = None):
             sel = np.linspace(0, k - 1, m).astype(int)
             z = z[sel]
         elif k < m:
-            pad = z[-1:] + 1e-4 * np.arange(1, m - k + 1).reshape(-1, 1)
+            pad = z[-1:] + step * np.arange(1, m - k + 1).reshape(-1, 1)
             z = np.concatenate([z, pad], 0)
         out.append(z)
     return np.stack(out)
@@ -71,13 +74,18 @@ def pad_inducing(z_list, m: int | None = None):
 
 def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
                       noise_variance: float = 1.0, masks=None, reg: bool = False,
-                      y_scale: float = 1.0):
+                      y_scale: float = 1.0, grid_dt=None):
     """Stacked SGPRSS over all windows.
 
     kern_builder() -> fresh Sum kernel (per-pitch components); each window gets
     its own copy so hyperparameters are free per window, matching the
     reset-per-window scheme (separation.py:265-277).  ``y_scale`` mirrors the
     AMT's y*20 (transcription.py:255-256).
+
+    ``grid_dt`` (typically 1/fs): audio windows are consecutive samples and
+    inducing points sit on the sample grid, so pass the sample spacing to turn
+    every covariance build into a lag-table gather (see SGPR.create) — at AMT
+    scale (88 pitches) this removes >95%% of the transcendental work per step.
     """
     nw = np.asarray(x_windows).shape[0]
     models = []
@@ -87,7 +95,7 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
                           kern_builder(), Z=np.asarray(z_windows[i]),
                           noise_variance=noise_variance,
                           mask=None if masks is None else jnp.asarray(masks[i]),
-                          reg=reg)
+                          reg=reg, grid_dt=grid_dt)
         models.append(m)
     return stack_modules(models)
 

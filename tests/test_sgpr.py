@@ -2,6 +2,7 @@
 exactness (the property that enables batched windows), per-source prediction
 vs brute-force multi-output conditioning."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -159,3 +160,113 @@ def test_sgprss_stacked_sum_matches_sum(rng):
     for a, b in zip(v1, v2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
                                    atol=1e-10)
+
+
+def test_kr_matches_K_all_stationary():
+    """k_r(absdist) == K for every stationary kernel (the lag-table premise)."""
+    from gpitch_tpu.kernels import (RBF, Cosine, Gammaexponential, LogisticHat,
+                                    Matern12, Matern12sm, Matern32, Matern32sm,
+                                    Matern32sml, Matern52, MercerCosMix,
+                                    MercerMatern12sm, Spectrum, StackedSum, Sum)
+    from gpitch_tpu.kernels.base import absdist
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(0, 0.01, (7, 1)))
+    X2 = jnp.asarray(rng.uniform(0, 0.01, (5, 1)))
+    kerns = [
+        RBF.create(1.3, 0.004), Matern12.create(0.7, 0.003),
+        Matern32.create(1.1, 0.002), Matern52.create(0.9, 0.005),
+        Cosine.create(0.8, 440.0), Gammaexponential.create(1.0, 0.003, 1.5),
+        LogisticHat.create(1.0, 0.002),
+        Matern12sm.create(1.2, 0.01, [1.0, 0.5], [440.0, 880.0]),
+        MercerMatern12sm.create(0.8, 0.02, [0.7, 0.2], [220.0, 660.0]),
+        Matern32sm.create(lengthscales=0.5, variances=[0.1, 0.2],
+                          frequencies=[330.0, 990.0]),
+        Matern32sml.create(lengthscales=[0.5, 0.8], variances=[0.1, 0.2],
+                           frequencies=[330.0, 990.0]),
+        MercerCosMix.create([0.5, 0.5], [100.0, 200.0], 0.2),
+        Spectrum.create([100.0, 300.0], [0.6, 0.4], 1.1),
+    ]
+    for k in kerns:
+        got = k.k_r(absdist(X, X2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(k.K(X, X2)),
+                                   rtol=1e-9, atol=1e-11,
+                                   err_msg=type(k).__name__)
+    # combinations
+    s = Sum(kern_list=(kerns[0], kerns[7]))
+    np.testing.assert_allclose(np.asarray(s.k_r(absdist(X, X2))),
+                               np.asarray(s.K(X, X2)), rtol=1e-9)
+    st = StackedSum.create([
+        Matern12sm.create(1.0, 0.01, [1.0], [440.0 * (i + 1)]) for i in range(4)])
+    np.testing.assert_allclose(np.asarray(st.k_r(absdist(X, X2))),
+                               np.asarray(st.K(X, X2)), rtol=1e-9)
+
+
+def test_sgpr_grid_path_exact():
+    """Lag-table SGPR bound, gradient, and predict_s equal the direct path."""
+    from gpitch_tpu.kernels import Matern12sm, StackedSum
+    from gpitch_tpu.models.sgpr import SGPRSS
+
+    fs = 16000.0
+    n, m, s = 160, 16, 5
+    x = (np.arange(n) / fs).reshape(-1, 1)
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((n, 1)) * 0.3
+    z = x[:: n // m][:m]
+
+    def kern():
+        return StackedSum.create([
+            Matern12sm.create(1.0, 0.05, [1.0, 0.4], [220.0 * (i + 1), 440.0 * (i + 1)],
+                              train_energy=True, train_frequency=True)
+            for i in range(s)])
+
+    direct = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1)
+    grid = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+
+    np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
+                               rtol=1e-10)
+    g1 = jax.grad(lambda mdl: mdl.loss())(direct)
+    g2 = jax.grad(lambda mdl: mdl.loss())(grid)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-9)
+
+    xnew = x[:40]
+    m1, v1 = direct.predict_s(xnew)
+    m2, v2 = grid.predict_s(xnew)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
+    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-7,
+                                   atol=1e-10)
+
+    # off-grid inputs are rejected
+    with np.testing.assert_raises(ValueError):
+        SGPRSS.create(x + 1e-5, y, kern(), Z=z, noise_variance=0.1,
+                      grid_dt=1.0 / fs)
+
+
+def test_window_bank_grid_matches_direct():
+    """Whole-bank loss with grid_dt equals the direct bank loss."""
+    from gpitch_tpu.kernels import Matern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (bank_loss, build_window_bank,
+                                                    pad_inducing, sum_kernel)
+
+    fs = 16000.0
+    ws, nw = 96, 3
+    rng = np.random.default_rng(4)
+    xw = np.stack([(np.arange(ws) + i * ws // 2) / fs for i in range(nw)])
+    xw = xw.reshape(nw, ws, 1)
+    yw = rng.standard_normal((nw, ws, 1)) * 0.2
+    z_list = [xw[i, ::7, 0].reshape(-1, 1)[:10 + i] for i in range(nw)]
+    z = pad_inducing(z_list, 14, grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([Matern12sm.create(1.0, 0.05, [1.0], [220.0 * (i + 1)])
+                           for i in range(3)])
+
+    b_direct = build_window_bank(xw, yw, z, builder)
+    b_grid = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    np.testing.assert_allclose(float(bank_loss(b_grid)),
+                               float(bank_loss(b_direct)), rtol=1e-10)
