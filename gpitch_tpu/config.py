@@ -24,14 +24,15 @@ __all__ = [
 
 
 def init_settings(visible_device: str | None = None, interactive: bool = False,
-                  run_on_server: bool = False):
+                  run_on_server: bool = True, allow_growth: bool = True):
     """TPU-native replacement for the reference's session/GPU bootstrap
     (methods.py:155-180, which sets CUDA_VISIBLE_DEVICES and builds a TF1
     session).  JAX needs neither: returns the live device list in place of a
     session, plus the dataset root path the reference derives from
-    ``run_on_server`` ('/import/' vs '/').  ``visible_device``/``interactive``
-    are accepted for signature parity and ignored."""
-    del visible_device, interactive
+    ``run_on_server`` ('/import/' vs '/'; reference default is True).
+    ``visible_device``/``interactive``/``allow_growth`` are accepted for
+    signature parity and ignored."""
+    del visible_device, interactive, allow_growth
     path = "/import/" if run_on_server else "/"
     return jax.devices(), path
 

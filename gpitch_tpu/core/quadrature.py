@@ -48,9 +48,14 @@ def gauss_hermite_moments(mean, var, nlinfun, h: int = 20):
     return e1, e2
 
 
-# 1-D (E[phi(g)], E[phi(g)^2]) quadrature — the reference's name for it
-# (likelihoods.py:33-45); the batched implementation handles the 1-D case.
-hermgauss1d = gauss_hermite_moments
+def hermgauss1d(mean, var, h=20, nlinfun=None):
+    """1-D (E[phi(g)], E[phi(g)^2]) quadrature with the reference's argument
+    order ``(mean_g, var_g, H, nlinfun)`` (likelihoods.py:33-45); thin wrapper
+    over the batched ``gauss_hermite_moments``."""
+    if nlinfun is None:
+        raise TypeError("hermgauss1d requires nlinfun (reference order: "
+                        "mean, var, H, nlinfun)")
+    return gauss_hermite_moments(mean, var, nlinfun, h)
 
 
 def mvhermgauss(means, covs, h: int, d: int):

@@ -105,16 +105,24 @@ class SGPR:
 
     @classmethod
     def create(cls, X, Y, kern, Z, noise_variance=1.0, mask=None, reg=False,
-               numerics=NumericsConfig(), grid_dt=None):
+               numerics=NumericsConfig(), grid_dt=None, num_lags=None):
         """``grid_dt``: if every X and Z value is an integer multiple of
         grid_dt (windowed audio — consecutive samples + on-grid inducing
         points), the hot covariance builds become a single stationary lag
         table of length N+M gathered by integer lag, instead of O(N*M)
         transcendental evaluations per pitch.  Exact, not an approximation:
-        k(|x-x'|) only takes N+M distinct values on a uniform grid.  Requires
-        ``kern.k_r``; validated here (concrete numpy) so jit never sees it.
+        k(|x-x'|) only takes span+1 distinct values on a uniform grid.
+        Requires ``kern.k_r``; validated here (concrete numpy) so jit never
+        sees it.  The table length covers the concrete index *span* of X∪Z, so
+        sparse/decimated on-grid inputs are handled correctly (not just
+        contiguous samples).
+
+        Gradient caveat: on the grid path, covariances are gathered by rounded
+        integer lag, so d(bound)/dX and d(bound)/dZ are structurally zero —
+        the direct path differentiates K(Z, X) through those buffers.  X/Z are
+        non-trainable, and every fit loop applies ``zero_untrainable_grads``,
+        so training is identical; only raw full-pytree gradients differ.
         """
-        num_lags = 0
         if grid_dt is not None:
             import numpy as _np
             xv = _np.asarray(X).reshape(-1) / grid_dt
@@ -123,7 +131,17 @@ class SGPR:
                     or _np.max(_np.abs(zv - _np.round(zv))) > 1e-3):
                 raise ValueError("grid_dt: inputs are not on the grid")
             kern.k_r(jnp.zeros(()))  # raises NotImplementedError if unsupported
-            num_lags = xv.shape[0] + zv.shape[0] + 1
+            allv = _np.concatenate([xv, zv])
+            span = int(_np.round(allv.max() - allv.min())) + 1
+            if num_lags is None:
+                num_lags = span
+            elif num_lags < span:
+                # a too-short table would make lag gathers clamp out of
+                # bounds, silently corrupting kuf/kuu (JAX clips OOB indices)
+                raise ValueError(
+                    f"num_lags={num_lags} < index span {span} of X union Z")
+        else:
+            num_lags = 0
         return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
                    X=Param.create(X, trainable=False),
                    Y=Param.create(Y, trainable=False),

@@ -25,7 +25,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_leading_axis", "replicate", "pad_bank_windows",
-           "shard_bank", "shard_modgp_sources", "init_multihost"]
+           "shard_bank", "shard_modgp_sources", "init_multihost",
+           "make_bank_loss_shard_map"]
 
 
 def init_multihost(coordinator_address: str | None = None,
@@ -106,6 +107,31 @@ def shard_bank(bank, mesh: Mesh | None = None, axis_name: str = "w"):
     mesh = mesh or make_mesh(axis_name=axis_name)
     bank, nw = pad_bank_windows(bank, mesh.shape[axis_name])
     return shard_leading_axis(bank, mesh, axis_name), nw, mesh
+
+
+def make_bank_loss_shard_map(mesh: Mesh, axis_name: str = "w"):
+    """Explicit-collective variant of ``pipelines.bank_loss``.
+
+    Where the NamedSharding path leaves collective placement to XLA's SPMD
+    partitioner, this pins the communication pattern by hand with
+    ``jax.shard_map``: each device computes the sum of its local shard of
+    per-window bounds, then ONE scalar ``psum`` over the window axis combines
+    them.  That single scalar reduction is the entire per-step communication
+    of the window-data-parallel scheme — it rides ICI within a host and is
+    cheap enough to cross DCN unchanged in the hosts x chips mesh
+    (docs/PARITY.md section 2.10).  Fully differentiable (psum transposes to
+    psum), so it drops into the same fit loops.
+
+    Returns ``loss_fn(bank) -> scalar``; the bank's window axis must be
+    divisible by the mesh size (use ``pad_bank_windows``).
+    """
+    from ..pipelines.windowed_sgpr import bank_loss  # local import: no cycle
+
+    def local_loss(bank):
+        return jax.lax.psum(bank_loss(bank), axis_name)
+
+    return jax.shard_map(local_loss, mesh=mesh, in_specs=P(axis_name),
+                         out_specs=P())
 
 
 def shard_modgp_sources(model, mesh: Mesh | None = None, axis_name: str = "w"):

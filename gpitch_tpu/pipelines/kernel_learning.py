@@ -61,10 +61,10 @@ def comatrix(samples):
 
 
 def get_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
-    """(cov, kern): sampled covariance and its normalized first row — the
-    reference's public entry point (samplecov.py:40-53)."""
-    cov, kern, _ = sample_cov(y, num_sam=num_sam, size=size, seed=seed)
-    return cov, kern
+    """(cov, kern, samples): sampled covariance, its normalized first row, and
+    the sample-window matrix — the reference's public entry point returns all
+    three (samplecov.py:40-53)."""
+    return sample_cov(y, num_sam=num_sam, size=size, seed=seed)
 
 
 def autocorr(y, size: int):

@@ -143,7 +143,12 @@ class SoSp:
             return build_window_bank(self.xw, self.yw, self.z,
                                      self._kern_builder, noise_variance=1.0,
                                      reg=self.reg, grid_dt=self.grid_dt)
-        except (ValueError, NotImplementedError):
+        except (ValueError, NotImplementedError) as e:
+            import warnings
+            warnings.warn(
+                f"SoSp: lag-table (grid) covariance path unavailable ({e}); "
+                "falling back to direct K(X,Z) evaluation — equivalent result, "
+                "slower per step", RuntimeWarning, stacklevel=2)
             return build_window_bank(self.xw, self.yw, self.z,
                                      self._kern_builder, noise_variance=1.0,
                                      reg=self.reg)

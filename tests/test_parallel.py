@@ -81,3 +81,52 @@ def test_modgp_source_sharding():
     sharded, mesh = shard_modgp_sources(model)
     loss_sharded = float(jax.jit(lambda m: m.loss(x, y))(sharded))
     np.testing.assert_allclose(loss_sharded, loss_local, rtol=1e-9)
+
+
+def test_shard_map_bank_loss_matches_local():
+    """Explicit-collective (shard_map + psum) bank loss == XLA-SPMD path ==
+    local loss, value and trainable gradients (round-1 VERDICT #9)."""
+    from gpitch_tpu.core.params import zero_untrainable_grads
+    from gpitch_tpu.parallel import make_bank_loss_shard_map
+
+    bank = _tiny_bank(nw=8)
+    loss_local = float(bank_loss(bank))
+    mesh = make_mesh(8)
+    sharded, _, _ = shard_bank(bank, mesh)
+    loss_fn = make_bank_loss_shard_map(mesh)
+    loss_sm = float(jax.jit(loss_fn)(sharded))
+    np.testing.assert_allclose(loss_sm, loss_local, rtol=1e-10)
+
+    g_local = zero_untrainable_grads(jax.grad(bank_loss)(bank))
+    g_sm = zero_untrainable_grads(jax.jit(jax.grad(loss_fn))(sharded))
+    for a, b in zip(jax.tree_util.tree_leaves(g_local),
+                    jax.tree_util.tree_leaves(g_sm)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
+
+
+def test_shard_map_bank_training_step_matches_local():
+    """One Adam step through the shard_map loss equals the local step."""
+    import optax
+
+    from gpitch_tpu.core.params import zero_untrainable_grads
+    from gpitch_tpu.parallel import make_bank_loss_shard_map
+
+    bank = _tiny_bank(nw=8)
+    mesh = make_mesh(8)
+    sharded, _, _ = shard_bank(bank, mesh)
+    loss_fn = make_bank_loss_shard_map(mesh)
+    opt = optax.adam(0.05)
+
+    def step(b, fn):
+        st = opt.init(b)
+        loss, grads = jax.value_and_grad(fn)(b)
+        grads = zero_untrainable_grads(grads)
+        updates, st = opt.update(grads, st, b)
+        return optax.apply_updates(b, updates), float(loss)
+
+    local_b, l0 = step(bank, bank_loss)
+    shard_b, l1 = step(sharded, jax.jit(loss_fn))
+    np.testing.assert_allclose(l1, l0, rtol=1e-10)
+    np.testing.assert_allclose(float(bank_loss(local_b)),
+                               float(jax.jit(loss_fn)(shard_b)), rtol=1e-8)

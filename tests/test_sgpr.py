@@ -225,8 +225,14 @@ def test_sgpr_grid_path_exact():
 
     np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
                                rtol=1e-10)
-    g1 = jax.grad(lambda mdl: mdl.loss())(direct)
-    g2 = jax.grad(lambda mdl: mdl.loss())(grid)
+    # Compare only *trainable* gradients: the grid path builds covariances from
+    # rounded integer indices, so d(loss)/dX and d(loss)/dZ are structurally
+    # zero there while the direct path differentiates K(Z, X) through the
+    # (non-trainable) X/Z buffers.  Training is identical either way — fit
+    # loops apply zero_untrainable_grads before any update.
+    from gpitch_tpu.core.params import zero_untrainable_grads
+    g1 = zero_untrainable_grads(jax.grad(lambda mdl: mdl.loss())(direct))
+    g2 = zero_untrainable_grads(jax.grad(lambda mdl: mdl.loss())(grid))
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-7, atol=1e-9)
@@ -245,6 +251,29 @@ def test_sgpr_grid_path_exact():
     with np.testing.assert_raises(ValueError):
         SGPRSS.create(x + 1e-5, y, kern(), Z=z, noise_variance=0.1,
                       grid_dt=1.0 / fs)
+
+
+def test_sgpr_grid_path_sparse_on_grid_inputs():
+    """Decimated (sparse but on-grid) X: the lag table must cover the index
+    *span*, not just N+M — previously OOB gathers clamped and silently
+    corrupted kuf/kuu (ADVICE round 1)."""
+    from gpitch_tpu.kernels import Matern12sm
+
+    fs = 16000.0
+    n = 64
+    x = (np.arange(n)[::4] / fs).reshape(-1, 1)  # span 61 >> N+M = 16+4
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((x.shape[0], 1)) * 0.3
+    z = x[::4]
+    kern = Matern12sm.create(1.0, 0.05, [1.0, 0.4], [220.0, 440.0])
+    direct = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1)
+    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+    np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
+                               rtol=1e-10)
+    # explicit num_lags shorter than the span is rejected loudly
+    with np.testing.assert_raises(ValueError):
+        SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs,
+                      num_lags=20)
 
 
 def test_window_bank_grid_matches_direct():

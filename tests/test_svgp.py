@@ -141,3 +141,77 @@ def test_synthetic_recovery_small():
     err = np.sqrt(np.mean((np.asarray(ms)[:, 0:1] - np.asarray(y)) ** 2))
     assert err < 0.25, f"recovery RMSE too high: {err}"
     assert float(losses[-1]) < float(losses[0])
+
+
+def test_ragged_padding_matches_unpadded_conditionals():
+    """Padded-z ModGP == per-source unpadded conditionals (round-1 VERDICT #8).
+
+    With whitened q(u), the Cholesky of the padded Gram nests the unpadded
+    one, so extending z with extra points while keeping q_mu zero and q_sqrt
+    identity on the padding block leaves every per-source conditional
+    (and the KL) EXACTLY unchanged.  This is the property `_stack_z` relies
+    on (models/svgp.py:41-58)."""
+    rng = np.random.default_rng(2)
+    ms = [14, 9]  # ragged per-source inducing counts
+    za = [np.sort(rng.uniform(0, 1, (m, 1)), 0) for m in ms]
+    zc = [np.sort(rng.uniform(0, 1, (m, 1)), 0) for m in ms]
+    kern_act = [Matern32.create(1.0, 0.3) for _ in range(2)]
+    kern_com = [MercerMatern12sm.create(1.0, 0.5, [1.0, 0.5],
+                                        [10.0 * (i + 1), 20.0 * (i + 1)])
+                for i in range(2)]
+    padded = ModGP.create(z=[za, zc], kern=[kern_act, kern_com])
+    mp = padded.za.value.shape[1]
+    assert mp == max(ms)
+
+    def rand_tril(m):
+        a = rng.standard_normal((m, m)) * 0.3 + np.eye(m)
+        return np.tril(a)
+
+    q_mu = [rng.standard_normal((m, 1)) * 0.5 for m in ms]
+    q_sq = [rand_tril(m) for m in ms]
+
+    # padded model: real entries + zero/identity padding block
+    def pad_mu(mu):
+        out = np.zeros((mp, 1))
+        out[: mu.shape[0]] = mu
+        return out
+
+    def pad_sq(sq):
+        out = np.eye(mp)
+        out[: sq.shape[0], : sq.shape[0]] = sq
+        return out
+
+    padded = padded.replace(
+        q_mu_act=padded.q_mu_act.with_value(np.stack([pad_mu(q) for q in q_mu])),
+        q_mu_com=padded.q_mu_com.with_value(np.stack([pad_mu(q) for q in q_mu])),
+        q_sqrt_act=padded.q_sqrt_act.with_value(np.stack([pad_sq(q) for q in q_sq])),
+        q_sqrt_com=padded.q_sqrt_com.with_value(np.stack([pad_sq(q) for q in q_sq])))
+
+    xnew = jnp.asarray(np.linspace(0, 1, 33).reshape(-1, 1))
+    ma_p, va_p = padded.predict_act(xnew)
+    mc_p, vc_p = padded.predict_com(xnew)
+
+    kl_single = 0.0
+    for i in range(2):
+        single = ModGP.create(z=[[za[i]], [zc[i]]],
+                              kern=[[kern_act[i]], [kern_com[i]]])
+        single = single.replace(
+            q_mu_act=single.q_mu_act.with_value(q_mu[i][None]),
+            q_mu_com=single.q_mu_com.with_value(q_mu[i][None]),
+            q_sqrt_act=single.q_sqrt_act.with_value(q_sq[i][None]),
+            q_sqrt_com=single.q_sqrt_com.with_value(q_sq[i][None]))
+        ma_s, va_s = single.predict_act(xnew)
+        mc_s, vc_s = single.predict_com(xnew)
+        np.testing.assert_allclose(np.asarray(ma_p[:, i]), np.asarray(ma_s[:, 0]),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(va_p[:, i]), np.asarray(va_s[:, 0]),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(mc_p[:, i]), np.asarray(mc_s[:, 0]),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(vc_p[:, i]), np.asarray(vc_s[:, 0]),
+                                   rtol=1e-6, atol=1e-9)
+        kl_single += float(single.prior_kl())
+
+    # padding adds nothing to the whitened KL either
+    np.testing.assert_allclose(float(padded.prior_kl()), kl_single,
+                               rtol=1e-8, atol=1e-9)
