@@ -1,15 +1,28 @@
-"""Benchmark: SVGP modulated-GP ELBO optimization throughput (steps/s).
+"""Benchmarks. Prints ONE JSON line:
+    {"metric", "value", "unit", "vs_baseline", "extras": {...}}
 
-Workload matches the reference demo (BASELINE.md: demos/scripts/demo-modgp.py
-N=16,000 @ 16 kHz, 1 source, minibatch 100, Adam, M~extrema count): whole Adam
-loop jit-compiled as one lax.scan on the accelerator.
+Primary metric — SVGP modulated-GP ELBO optimization throughput (steps/s) on
+the reference demo workload (BASELINE.md: demos/scripts/demo-modgp.py
+N=16,000 @ 16 kHz, 1 source, minibatch 100, Adam, M~extrema count): the whole
+Adam loop jit-compiled as one lax.scan on the accelerator.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the north
 star is ">=10x audio-seconds/s per chip vs CPU GPflow".  As a measurable proxy
 the same compiled program is timed on the host CPU backend and the ratio
-accelerator/CPU is reported.
+accelerator/CPU is reported.  This is JAX-vs-JAX, NOT vs CPU GPflow — labeled
+honestly as such.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``extras`` carries the BASELINE.md workload-level metrics (round-1 VERDICT
+item 5):
+* separation_audio_s_per_s — 3-source windowed-SGPR bank (ws=2001, 500 Adam
+  steps over every window in parallel), audio-seconds optimized per second;
+* amt88_* — the 88-pitch AMT bank (transcription.py:56,170): compile seconds,
+  steps/s, audio-seconds/s (round-1 VERDICT item 3);
+* svgp_mfu — achieved FLOPs / peak via the analytical per-step model
+  (utils/profiling.py).
+
+All timings fence on host scalar reads — block_until_ready can return before
+the computation finishes on relayed devices.
 """
 
 import json
@@ -18,7 +31,7 @@ import time
 import numpy as np
 
 
-def build_workload(backend):
+def build_svgp_workload(backend):
     import jax
     import jax.numpy as jnp
     from gpitch_tpu.kernels import Matern32, MercerMatern12sm
@@ -50,12 +63,12 @@ def build_workload(backend):
     return model, jax.device_put(jnp.asarray(x), dev), jax.device_put(jnp.asarray(y), dev)
 
 
-def run(backend, num_steps=2000, minibatch=100):
+def run_svgp(backend, num_steps=2000, minibatch=100):
     import jax
     import optax
     from gpitch_tpu.models import adam_step_fn, minibatch_fn
 
-    model, x, y = build_workload(backend)
+    model, x, y = build_svgp_workload(backend)
     n = x.shape[0]
     loss_fn = lambda m, xb, yb: m.loss(xb, yb, num_data=n)
     batch_fn = minibatch_fn(x, y, minibatch)
@@ -73,9 +86,7 @@ def run(backend, num_steps=2000, minibatch=100):
 
         return jax.lax.scan(body, (model, opt_state), keys)
 
-    # first call compiles; the timed second call measures pure execution.
-    # Fence with a host scalar read — block_until_ready can return before the
-    # computation finishes on relayed/remote devices.
+    # first call compiles; the timed second call measures pure execution
     (_, _), losses = run_steps(model, opt_state)
     float(losses[-1])
     t0 = time.perf_counter()
@@ -85,25 +96,135 @@ def run(backend, num_steps=2000, minibatch=100):
     return num_steps / dt, final
 
 
+def run_separation_bank(maxiter=500, seconds=4.0):
+    """Windowed-SGPR separation bank: audio-seconds optimized per second.
+
+    3 pitches, ws=2001, lag-table path — the compute core of the SoSp
+    pipeline at reference window size (separation.py:92-99).
+    """
+    from gpitch_tpu.audio import synth_piano_note
+    from gpitch_tpu.audio.windowing import window_stack
+    from gpitch_tpu.kernels import MercerMatern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (build_window_bank,
+                                                    optimize_bank,
+                                                    pad_inducing, sum_kernel)
+    from gpitch_tpu.utils import midi2freq
+
+    fs, ws = 16000, 2001
+    sources = [synth_piano_note(fs=fs, seconds=seconds, f0=midi2freq(m),
+                                onset=o, noise=0.0, seed=m)[1]
+               for m, o in zip((60, 64, 67), (0.0, 0.9, 1.8))]
+    mix = sum(sources) / 3.0
+    x = np.arange(mix.shape[0]).reshape(-1, 1) / fs
+    xw, yw = window_stack(x, ws), window_stack(mix, ws)
+    nw = xw.shape[0]
+    z = pad_inducing([xw[i, ::16][:112].reshape(-1, 1) for i in range(nw)],
+                     112, grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([
+            MercerMatern12sm.create(1.0, 0.1,
+                                    [1.0 / (k + 1) for k in range(5)],
+                                    [midi2freq(m) * (k + 1) for k in range(5)])
+            for m in (60, 64, 67)])
+
+    bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    t0 = time.perf_counter()
+    bank, losses, (compile_s, run_s) = optimize_bank(
+        bank, num_steps=maxiter, learning_rate=0.01, timed=True)
+    float(np.asarray(losses)[-1])
+    audio_s = mix.shape[0] / fs
+    return {"audio_s": audio_s, "num_windows": int(nw), "maxiter": maxiter,
+            "compile_s": round(compile_s, 1), "optimize_s": round(run_s, 2),
+            "audio_s_per_s": round(audio_s / run_s, 2),
+            "steps_per_s": round(maxiter / run_s, 1)}
+
+
+def run_amt88_bank(maxiter=100, num_windows=16):
+    """88-pitch AMT window bank (transcription.py:56,170): the full piano
+    dictionary, ws=2001 @ 44.1 kHz, 20 partials per pitch, lag-table path."""
+    from gpitch_tpu.kernels import MercerMatern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (build_window_bank,
+                                                    optimize_bank,
+                                                    pad_inducing, sum_kernel)
+    from gpitch_tpu.utils import midi2freq
+
+    fs, ws, hop = 44100, 2001, 1000
+    n = hop * (num_windows - 1) + ws
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / fs
+    sig = sum(np.cos(2 * np.pi * midi2freq(m) * t) *
+              np.exp(-((t - 0.01 * i) % 0.4) * 6.0)
+              for i, m in enumerate((60, 64, 67, 72)))
+    y = (sig / np.max(np.abs(sig)) + 1e-3 * rng.standard_normal(n)).reshape(-1, 1)
+    x = t.reshape(-1, 1)
+    xw = np.stack([x[i * hop:i * hop + ws, 0] for i in range(num_windows)])
+    yw = np.stack([y[i * hop:i * hop + ws, 0] for i in range(num_windows)])
+    z = pad_inducing([xw[i, ::13][:154].reshape(-1, 1)
+                      for i in range(num_windows)], 154, grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([
+            MercerMatern12sm.create(
+                0.1, 0.05, [1.0 / (k + 1) for k in range(20)],
+                [min(midi2freq(m) * (k + 1), 20000.0) for k in range(20)],
+                len_fixed=False)
+            for m in range(21, 109)])  # all 88 piano pitches
+
+    t0 = time.perf_counter()
+    bank = build_window_bank(xw, yw, z, builder, y_scale=20.0,
+                             grid_dt=1.0 / fs)
+    build_s = time.perf_counter() - t0
+    bank, losses, (compile_s, run_s) = optimize_bank(
+        bank, num_steps=maxiter, learning_rate=0.01, timed=True)
+    final = float(np.asarray(losses)[-1])
+    audio_s = n / fs
+    return {"audio_s": round(audio_s, 2), "num_windows": num_windows,
+            "num_pitches": 88, "maxiter": maxiter,
+            "build_s": round(build_s, 1), "compile_s": round(compile_s, 1),
+            "optimize_s": round(run_s, 2),
+            "steps_per_s": round(maxiter / run_s, 1),
+            "audio_s_per_s": round(audio_s / run_s, 2),
+            "loss_final": round(final, 1)}
+
+
 def main():
     import jax
+    from gpitch_tpu.utils.profiling import flops_svgp_step, utilization_report
 
     default = jax.default_backend()
-    steps_per_s, final_loss = run(default, num_steps=2000)
+    steps_per_s, final_loss = run_svgp(default, num_steps=2000)
 
     vs = 1.0
     try:
         if default != "cpu":
-            cpu_steps_per_s, _ = run("cpu", num_steps=200)
+            cpu_steps_per_s, _ = run_svgp("cpu", num_steps=200)
             vs = steps_per_s / cpu_steps_per_s
     except Exception:
         pass
+
+    extras = {"vs_baseline_note":
+              "same jitted program TPU-vs-host-CPU (reference publishes no "
+              "numbers; this is NOT vs CPU GPflow)"}
+    util = utilization_report(flops_svgp_step(100, 128, 1, 3),
+                              1.0 / steps_per_s)
+    extras["svgp_mfu"] = round(util["mfu"], 5)
+    extras["svgp_achieved_gflops"] = round(util["achieved_flops"] / 1e9, 1)
+    try:
+        extras["separation"] = run_separation_bank()
+    except Exception as e:  # pragma: no cover
+        extras["separation"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        extras["amt88"] = run_amt88_bank()
+    except Exception as e:  # pragma: no cover
+        extras["amt88"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(vs, 2),
+        "extras": extras,
     }))
 
 

@@ -18,6 +18,8 @@ __all__ = [
     "default_float",
     "default_jitter",
     "set_jitter",
+    "use_pallas_specmix",
+    "set_pallas_specmix",
     "NumericsConfig",
     "init_settings",
 ]
@@ -43,6 +45,23 @@ def default_float() -> jnp.dtype:
 
 
 _JITTER = {"value": None}
+
+_PALLAS_SPECMIX = {"value": False}
+
+
+def use_pallas_specmix() -> bool:
+    """Whether spectral-mixture kernels build K via the fused Pallas kernel
+    (linalg/pallas/specmix.py) instead of the XLA feature matmul.
+
+    Default False: measured on TPU v5e the MXU feature-matmul path wins at
+    every workload size (docs/PALLAS_SPECMIX.md) — the Pallas kernel is
+    transcendental-bound on the VPU, the matmul rides the MXU.  The flag
+    exists so the comparison stays reproducible on future hardware."""
+    return _PALLAS_SPECMIX["value"]
+
+
+def set_pallas_specmix(enabled: bool) -> None:
+    _PALLAS_SPECMIX["value"] = bool(enabled)
 
 
 def default_jitter() -> float:

@@ -32,6 +32,19 @@ __all__ = ["Matern12sm", "Matern32sm", "Matern32smOld", "Matern32sml",
            "cosine_features", "cos_mixture", "cos_mixture_r"]
 
 
+def _pallas_enabled() -> bool:
+    """Trace-time switch to the fused Pallas covariance kernel.
+
+    Off by default: on TPU v5e the XLA feature-matmul path is faster at every
+    measured size (docs/PALLAS_SPECMIX.md) — enable via
+    ``config.set_pallas_specmix(True)`` to re-measure on other hardware."""
+    from .. import config
+    if not config.use_pallas_specmix():
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 def cosine_features(X, energy, frequency):
     """phi(X): (N, 2P) cos/sin features with sqrt-energy scaling.
 
@@ -89,6 +102,11 @@ class Matern12sm(Kernel):
         return self.energy.raw.shape[-1]
 
     def K(self, X, X2=None):
+        if _pallas_enabled():
+            from ..linalg.pallas.specmix import specmix_matrix
+            return specmix_matrix(X, X if X2 is None else X2,
+                                  self.energy.value, self.frequency.value,
+                                  self.variance.value, self.lengthscales.value)
         r = absdist(X, X2)
         mix = cos_mixture(X, X2, self.energy.value, self.frequency.value)
         return self.variance.value * jnp.exp(-r / self.lengthscales.value) * mix

@@ -96,6 +96,7 @@ class SGPR:
     X: Any = None
     Y: Any = None
     Z: Any = None                 # inducing inputs (M, 1)
+    x0: Any = None                # per-window time offset, () non-trainable
     mask: Any = None              # (N,) float or None
     reg: bool = static_field(False)
     reg_beta: float = static_field(1000.0)
@@ -105,7 +106,8 @@ class SGPR:
 
     @classmethod
     def create(cls, X, Y, kern, Z, noise_variance=1.0, mask=None, reg=False,
-               numerics=NumericsConfig(), grid_dt=None, num_lags=None):
+               numerics=NumericsConfig(), grid_dt=None, num_lags=None,
+               center=True):
         """``grid_dt``: if every X and Z value is an integer multiple of
         grid_dt (windowed audio — consecutive samples + on-grid inducing
         points), the hot covariance builds become a single stationary lag
@@ -122,9 +124,30 @@ class SGPR:
         the direct path differentiates K(Z, X) through those buffers.  X/Z are
         non-trainable, and every fit loop applies ``zero_untrainable_grads``,
         so training is identical; only raw full-pytree gradients differ.
+
+        f32 accuracy: X and Z are stored *centered* (shifted by ``x0 = min``
+        of the valid inputs, subtracted in f64 before casting).  The kernels
+        are stationary, so this is an exact-arithmetic identity, but in f32 it
+        is load-bearing for the direct path: a ws=2001 window starting 13 s
+        into a recording otherwise computes r = |x - x'| with ~1e-6 s
+        cancellation error and cos(2*pi*f*x) at ~1e5-rad arguments (f32 ulp
+        there ~1e-2 rad) — see docs/F32_ACCURACY.md for measurements.
+        Prediction entry points subtract ``x0`` from Xnew automatically.
         """
+        import numpy as _np
+        xarr = _np.asarray(X, dtype=_np.float64).reshape(-1)
+        zarr = _np.asarray(Z, dtype=_np.float64).reshape(-1)
+        if mask is not None:
+            mvalid = _np.asarray(mask).reshape(-1) > 0
+            xvalid = xarr[mvalid] if mvalid.any() else xarr
+        else:
+            xvalid = xarr
+        # x0 is rounded to an exactly-f32-representable value so the stored
+        # Param loses nothing at f32 and device-side `Xnew - x0` is exact
+        x0 = float(_np.float32(min(xvalid.min(), zarr.min()))) if center else 0.0
+        X = (_np.asarray(X, dtype=_np.float64) - x0).reshape(-1, 1)
+        Z = zarr.reshape(-1, 1) - x0
         if grid_dt is not None:
-            import numpy as _np
             xv = _np.asarray(X).reshape(-1) / grid_dt
             zv = _np.asarray(Z).reshape(-1) / grid_dt
             if (_np.max(_np.abs(xv - _np.round(xv))) > 1e-3
@@ -145,7 +168,8 @@ class SGPR:
         return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
                    X=Param.create(X, trainable=False),
                    Y=Param.create(Y, trainable=False),
-                   Z=Param.create(jnp.asarray(Z).reshape(-1, 1), trainable=False),
+                   Z=Param.create(Z, trainable=False),
+                   x0=Param.create(x0, trainable=False),
                    mask=None if mask is None else Param.create(jnp.asarray(mask),
                                                                trainable=False),
                    reg=reg, grid_dt=grid_dt, num_lags=num_lags,
@@ -156,13 +180,18 @@ class SGPR:
         return None if self.mask is None else self.mask.value
 
     # ------------------------------------------------- grid (lag-table) path
+    def _grid_t0(self):
+        x, z = self.X.value[:, 0], self.Z.value[:, 0]
+        return jnp.minimum(jnp.min(x), jnp.min(z))
+
+    def _grid_index(self, v, t0):
+        return jnp.round((v - t0) / self.grid_dt).astype(jnp.int32)
+
     def _grid_indices(self):
         """Integer grid positions of X and Z, offset to start at 0."""
-        x, z = self.X.value[:, 0], self.Z.value[:, 0]
-        t0 = jnp.minimum(jnp.min(x), jnp.min(z))
-        ix = jnp.round((x - t0) / self.grid_dt).astype(jnp.int32)
-        iz = jnp.round((z - t0) / self.grid_dt).astype(jnp.int32)
-        return ix, iz
+        t0 = self._grid_t0()
+        return (self._grid_index(self.X.value[:, 0], t0),
+                self._grid_index(self.Z.value[:, 0], t0))
 
     def _lag_table(self):
         """k(l * grid_dt) for l = 0..num_lags-1 — one table for the whole
@@ -236,8 +265,14 @@ class SGPR:
         return -self.elbo()
 
     # ----------------------------------------------------------- predict
-    def predict_f(self, Xnew):
-        """Titsias posterior at Xnew (gpflow SGPR.build_predict equivalent)."""
+    def predict_f(self, Xnew, pre_centered: bool = False):
+        """Titsias posterior at Xnew (gpflow SGPR.build_predict equivalent).
+
+        ``pre_centered``: Xnew was already shifted by ``x0`` on the host (in
+        f64) — the pipelines do this so f32 prediction accuracy doesn't hinge
+        on a device-side big-value subtraction."""
+        if not pre_centered:
+            Xnew = Xnew - self.x0.value  # stored X/Z are centered (see create)
         err, _, L_inv, A, _, (_, LB_inv), c, sigma2 = self._common()
         kus = self.kern.K(self.Z.value, Xnew)
         tmp1 = L_inv @ kus
@@ -249,6 +284,27 @@ class SGPR:
         return mean, var[:, None]
 
 
+def _source_chunked(fn, per_source, kdiags, s: int, source_batch: int):
+    """Apply ``fn(per_source_chunk, kdiag_chunk)`` over the source axis in
+    lax.map chunks of ``source_batch``: peak memory is one chunk's worth of
+    (cs, N, Nnew) intermediates instead of the full (S, N, Nnew) batch."""
+    cs = max(1, min(source_batch, s))
+    nc = -(-s // cs)
+    pad = nc * cs - s
+
+    def prep(t):
+        def reshape(a):
+            if pad:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)], 0)
+            return a.reshape((nc, cs) + a.shape[1:])
+        return jax.tree_util.tree_map(reshape, t)
+
+    out = jax.lax.map(lambda args: fn(args[0], args[1]),
+                      (prep(per_source), prep(kdiags)))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((nc * cs,) + a.shape[2:])[:s], out)
+
+
 @module
 class SGPRSS(SGPR):
     """SGPR with per-source posterior prediction (sgpr_ss.py:73-114).
@@ -258,12 +314,31 @@ class SGPRSS(SGPR):
     full-data Cholesky of K + sigma^2 I (sgpr_ss.py:88-90).
     """
 
-    def predict_s(self, Xnew):
-        """[(N,1) means], [(N,1) vars] per source — sgpr_ss.py:92-106."""
+    def predict_s(self, Xnew, pre_centered: bool = False,
+                  source_batch: int = 8):
+        """[(N,1) means], [(N,1) vars] per source — sgpr_ss.py:92-106.
+
+        ``source_batch``: sources are processed in chunks of this size
+        (lax.map over chunks, vmap inside), bounding peak memory at
+        (source_batch, N, Nnew) — at AMT's 88 pitches the unchunked batch is
+        a 1.4 GB intermediate per window.
+
+        Per-source cross-covariances are built directly (cos-feature matmul on
+        the MXU) even on the grid path: X/Z are stored centered so the f32
+        build is accurate (docs/F32_ACCURACY.md), and a per-source lag-table
+        *gather* — operand batched over sources with (N, Nnew) indices —
+        lowers to a >15 GB scratch on TPU XLA, measured round 2.  Only the
+        single summed-kernel kxx below keeps the gather form (scalar table,
+        proven cheap in the training path).
+        """
+        if not pre_centered:
+            Xnew = Xnew - self.x0.value  # stored X/Z are centered (see create)
         x, y = self.X.value, self.Y.value
         sigma2 = self.variance.value
-        if self.grid_dt is not None:
-            ix, _ = self._grid_indices()
+        grid = self.grid_dt is not None
+        if grid:
+            t0 = self._grid_t0()
+            ix = self._grid_index(x[:, 0], t0)
             kxx = self._lag_table()[jnp.abs(ix[:, None] - ix[None, :])]
         else:
             kxx = self.kern.K(x)
@@ -275,26 +350,32 @@ class SGPRSS(SGPR):
         ky = kxx + sigma2 * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
         _, L_inv = safe_chol_inv(ky, self.numerics.jitter_value())
         V = L_inv @ y
+        mv = None if self.mask is None else self.mask_value
 
-        if hasattr(self.kern, "K_terms"):  # StackedSum: one batched solve
-            kx = self.kern.K_terms(x, Xnew)            # (S, N, Nnew)
-            if self.mask is not None:
-                kx = kx * self.mask_value[None, :, None]
-            A = L_inv[None] @ kx                       # (S, N, Nnew)
-            mean = jnp.einsum("snm,nq->smq", A, V)     # (S, Nnew, 1)
-            svar = self.kern.Kdiag_terms(Xnew) - jnp.sum(jnp.square(A), 1)
-            s = mean.shape[0]
+        def finish(kxi, kdiag_i):
+            """(N, Nnew) cross-cov + (Nnew,) prior diag -> mean, var."""
+            if mv is not None:
+                kxi = kxi * mv[:, None]
+            A = L_inv @ kxi
+            mean = A.T @ V                                   # (Nnew, 1)
+            svar = kdiag_i - jnp.sum(jnp.square(A), 0)
+            return mean, svar
+
+        stacked = getattr(self.kern, "stacked", None)
+        if stacked is not None:  # StackedSum bank
+            s = self.kern.num_terms
+            kdiags = self.kern.Kdiag_terms(Xnew)             # (S, Nnew)
+            mean, svar = _source_chunked(
+                lambda chunk, kd: jax.vmap(finish)(
+                    jax.vmap(lambda k: k.K(x, Xnew))(chunk[0]), kd),
+                (stacked,), kdiags, s, source_batch)
             return ([mean[i] for i in range(s)],
                     [svar[i][:, None] for i in range(s)])
 
         kerns = list(self.kern.kern_list)
         means, variances = [], []
         for k in kerns:
-            kx = k.K(x, Xnew)
-            if self.mask is not None:
-                kx = kx * self.mask_value[:, None]
-            A = L_inv @ kx
-            means.append(A.T @ V)
-            svar = k.Kdiag(Xnew) - jnp.sum(jnp.square(A), 0)
+            mean, svar = finish(k.K(x, Xnew), k.Kdiag(Xnew))
+            means.append(mean)
             variances.append(svar[:, None])
         return means, variances

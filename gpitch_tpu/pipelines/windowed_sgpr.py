@@ -101,7 +101,10 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
         num_lags = span
     models = []
     for i in range(nw):
-        m = SGPRSS.create(jnp.asarray(x_windows[i]).reshape(-1, 1),
+        # x stays f64 numpy into create: centering (X - x0) happens in f64
+        # there, which is what makes the direct path f32-accurate for windows
+        # deep into a recording (docs/F32_ACCURACY.md)
+        m = SGPRSS.create(np.asarray(x_windows[i], dtype=np.float64).reshape(-1, 1),
                           y_scale * jnp.asarray(y_windows[i]).reshape(-1, 1),
                           kern_builder(), Z=np.asarray(z_windows[i]),
                           noise_variance=noise_variance,
@@ -155,17 +158,27 @@ def chunked_vmap(fn: Callable, bank, batch_size: int = 8):
         lambda x: x.reshape((nb * batch_size,) + x.shape[2:])[:nw], out)
 
 
+def _centered_windows(bank, x_windows):
+    """Per-window Xnew - x0 computed on host in f64 (bank x0 values are
+    exactly f32-representable, see SGPR.create), so f32 prediction accuracy
+    never depends on a device-side big-minus-big subtraction."""
+    x0s = np.asarray(bank.x0.value, dtype=np.float64).reshape(-1)
+    xc = np.asarray(x_windows, dtype=np.float64)
+    xc = xc.reshape(xc.shape[0], -1) - x0s[:, None]
+    return jnp.asarray(xc)
+
+
 def predict_bank_sources(bank, x_windows, batch_size: int = 8, y_scale: float = 1.0):
     """Per-window per-source posteriors: (smean, svar) each (S, nw, ws).
 
     Equivalent of the per-window model.predict_s calls (separation.py:311-313),
     memory-bounded by chunking.
     """
-    xw = jnp.asarray(x_windows)
+    xw = _centered_windows(bank, x_windows)
 
     def one(args):
         m, x = args
-        means, variances = m.predict_s(x.reshape(-1, 1))
+        means, variances = m.predict_s(x.reshape(-1, 1), pre_centered=True)
         return (jnp.stack([mm[:, 0] for mm in means]),
                 jnp.stack([vv[:, 0] for vv in variances]))
 
@@ -177,11 +190,11 @@ def predict_bank_sources(bank, x_windows, batch_size: int = 8, y_scale: float = 
 
 def predict_bank_mixture(bank, x_windows, batch_size: int = 8, y_scale: float = 1.0):
     """Per-window mixture posterior (nw, ws) mean/var (separation.py:306-308)."""
-    xw = jnp.asarray(x_windows)
+    xw = _centered_windows(bank, x_windows)
 
     def one(args):
         m, x = args
-        mean, var = m.predict_f(x.reshape(-1, 1))
+        mean, var = m.predict_f(x.reshape(-1, 1), pre_centered=True)
         return mean[:, 0], var[:, 0]
 
     mean, var = chunked_vmap(lambda mx: one(mx), (bank, xw), batch_size)

@@ -1,0 +1,336 @@
+"""Reference-scale quality workloads -> QUALITY_r02.json + plots.
+
+Round-1 VERDICT item 2: the reference's real workloads were never run.  This
+harness runs all three at reference scale on the default backend (TPU):
+
+1. real_audio  — the flagship single-pitch fit on the ACTUAL reference
+   recording /root/reference/demos/data/011PFNOF_M60_train.wav (loaded at
+   runtime, never copied), matching demo_modgp-real-audio.ipynb
+   (Adam lr=0.0025, minibatch 100, dec=9, 5 partials).
+2. separation  — 14-s 3-source mixture @ 16 kHz, ws=2001 (~223 windows),
+   matching /root/reference/gpitch/separation.py:92-99.  Sources are built
+   from the real MAPS piano note: C4 = the recording itself, E4/G4 =
+   pitch-shifted (resampled) copies, each placed at known onsets, so exact
+   ground-truth source tracks exist for compute_rmse
+   (separation.py:418-423).
+3. amt         — multi-pitch transcription @ 44.1 kHz, ws=2001, with a
+   ground-truth pianoroll and frame P/R/F-measure
+   (transcription.py:56,170,265-298; evaluation per arXiv:1705.07104).
+
+Usage: python scripts/run_quality.py [--quick]  (quick: shrunken sizes, CI)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_WAV = "/root/reference/demos/data/011PFNOF_M60_train.wav"
+OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "QUALITY_r02.json")
+
+
+# ---------------------------------------------------------------- audio build
+
+def pitch_shift(y: np.ndarray, semitones: float) -> np.ndarray:
+    """Resample-based pitch shift of an isolated note (duration shrinks for
+    upward shifts — fine for note events)."""
+    y = np.asarray(y).reshape(-1)
+    factor = 2.0 ** (semitones / 12.0)
+    pos = np.arange(0.0, len(y) - 1.0, factor)
+    return np.interp(pos, np.arange(len(y)), y)
+
+
+def place_notes(note: np.ndarray, onsets_s, total_s: float, fs: float,
+                amp: float = 1.0) -> np.ndarray:
+    """A source track: the note event placed at each onset (samples)."""
+    track = np.zeros(int(round(total_s * fs)))
+    n = len(note)
+    for t in onsets_s:
+        i0 = int(round(t * fs))
+        seg = note[: max(0, len(track) - i0)]
+        track[i0:i0 + len(seg)] += amp * seg
+    return track
+
+
+def load_ref_note(fs_out: float | None = None):
+    """The real MAPS note (mono, peak-normalized).  Returns (y, fs)."""
+    from gpitch_tpu.audio import readaudio
+    _, y, fs = readaudio(REF_WAV, scaled=True)
+    y = y.reshape(-1)
+    if fs_out and fs_out != fs:
+        pos = np.arange(0.0, len(y) - 1.0, fs / fs_out)
+        y = np.interp(pos, np.arange(len(y)), y)
+        fs = fs_out
+    return y, fs
+
+
+# ----------------------------------------------------------------- workloads
+
+def run_real_audio(steps: int) -> dict:
+    """Workload 1: the reference notebook's real-audio single-pitch fit."""
+    import jax.numpy as jnp
+    from gpitch_tpu.audio import init_cparam, readaudio
+    from gpitch_tpu.kernels import Matern32, MercerMatern12sm
+    from gpitch_tpu.models import (ModGP, fit_adam_timed, minibatch_fn,
+                                   predict_windowed)
+    from gpitch_tpu.pipelines import init_liv
+    from gpitch_tpu.utils import midi2freq
+
+    x, y, fs = readaudio(REF_WAV, frames=32000, scaled=True)
+    n = y.shape[0]
+    f0 = midi2freq(60)
+    freqs, energies, _, _, _ = init_cparam(y, fs=fs, maxh=5, ideal_f0=f0)
+    z, _ = init_liv(x=x, y=y, win_size=31, thres=0.05, dec=9)
+
+    kact = Matern32.create(variance=3.5, lengthscales=0.2)
+    kcom = MercerMatern12sm.create(variance=1.0, lengthscales=0.5,
+                                   energy=energies, frequency=freqs)
+    model = ModGP.create(z=z, kern=[[kact], [kcom]])
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    model, losses, compile_s, run_s = fit_adam_timed(
+        model, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
+        num_steps=steps, learning_rate=0.0025,
+        batch_fn=minibatch_fn(xj, yj, 100))
+    losses = np.asarray(losses)
+
+    results = predict_windowed(model, xj, ws=1600)
+    m_src = np.asarray(results[4])
+    rmse = float(np.sqrt(np.mean((m_src[:, 0:1] - y) ** 2)))
+
+    _plot_real_audio(x, y, results)
+    return {
+        "workload": "real 2.0 s MAPS note 011PFNOF_M60 @ 16 kHz (loaded from "
+                    "the reference at runtime)",
+        "steps": steps, "elbo_start": float(-losses[0]),
+        "elbo_final": float(-losses[-1]),
+        "reconstruction_rmse": rmse,
+        "compile_s": round(compile_s, 2), "run_s": round(run_s, 2),
+        "steps_per_s": round(steps / run_s, 1),
+        "partials_hz": np.round(freqs, 1).tolist(),
+    }
+
+
+def _plot_real_audio(x, y, results):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from gpitch_tpu.utils.math import logistic
+    m_a, v_a, m_c, _, m_s = [np.asarray(r) for r in results]
+    fig, axes = plt.subplots(3, 1, figsize=(11, 7), sharex=True)
+    axes[0].plot(x[:, 0], y[:, 0], "C0", lw=0.4, label="data")
+    axes[0].plot(x[:, 0], m_s[:, 0], "C1", lw=0.4, label="posterior source")
+    axes[0].legend(loc="upper right")
+    axes[0].set_title("real MAPS note 011PFNOF_M60: data vs modulated-GP fit")
+    axes[1].plot(x[:, 0], logistic(m_a[:, 0]), "C2", lw=0.8)
+    axes[1].set_title("activation envelope sigma(g)")
+    axes[2].plot(x[:, 0], m_c[:, 0], "C3", lw=0.4)
+    axes[2].set_title("component f")
+    axes[2].set_xlabel("time (s)")
+    fig.tight_layout()
+    fig.savefig("demo-real-audio-quality.png", dpi=90)
+    plt.close(fig)
+
+
+def run_separation(maxiter: int, seconds: float = 14.0) -> dict:
+    """Workload 2: 14-s 3-source separation, ws=2001 (~223 windows)."""
+    from gpitch_tpu.pipelines import SoSp
+
+    fs = 16000.0
+    note_c, _ = load_ref_note()
+    notes = {
+        "M60": note_c,
+        "M64": pitch_shift(note_c, 4.0),
+        "M67": pitch_shift(note_c, 7.0),
+    }
+    onsets = {
+        "M60": [0.2, 4.7, 9.3],
+        "M64": [1.6, 6.4, 10.9],
+        "M67": [3.0, 7.8, 12.4],
+    }
+    sources = [place_notes(notes[k], onsets[k], seconds, fs) for k in notes]
+    mix = sum(sources)
+    x = (np.arange(len(mix)) / fs).reshape(-1, 1)
+
+    t0 = time.perf_counter()
+    model = SoSp(train_signals=[notes[k][: int(2 * fs)] for k in notes],
+                 train_names=[f"piano_{k}_train.wav" for k in notes],
+                 fs=fs, mixture=(x, mix), window_size=2001,
+                 kernel_mode="fft", max_par=5, num_inducing=112, dec=2)
+    build_s = time.perf_counter() - t0
+    losses, (compile_s, run_s) = model.optimize(maxiter=maxiter,
+                                                learning_rate=0.01, timed=True)
+    t0 = time.perf_counter()
+    model.predict_s(batch_size=8)
+    predict_s_time = time.perf_counter() - t0
+    rmse = model.compute_rmse(sources)
+
+    _plot_separation(x, mix, sources, model)
+    audio_s = len(mix) / fs
+    return {
+        "workload": f"{seconds:.0f} s 3-source mixture @ 16 kHz, ws=2001, "
+                    f"{model.nwin} windows (real MAPS note + pitch-shifted "
+                    "copies; exact ground-truth tracks)",
+        "num_windows": int(model.nwin), "maxiter": maxiter,
+        "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
+        "rmse": float(rmse),
+        "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
+        "predict_s": round(predict_s_time, 2), "build_s": round(build_s, 2),
+        "audio_seconds_per_s_optimize": round(audio_s / run_s, 3),
+        "audio_seconds_per_s_total": round(
+            audio_s / (run_s + predict_s_time), 3),
+    }
+
+
+def _plot_separation(x, mix, sources, model):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(4, 1, figsize=(12, 8), sharex=True)
+    axes[0].plot(x[:, 0], mix, "k", lw=0.3)
+    axes[0].set_title("mixture (14 s, 3 sources from the real MAPS note)")
+    for i, name in enumerate(("C4 (M60)", "E4 (M64)", "G4 (M67)")):
+        est = model.esource[i][0][:, 0]
+        axes[i + 1].plot(x[: len(est), 0], sources[i][: len(est)], "C0",
+                         lw=0.3, label="truth")
+        axes[i + 1].plot(x[: len(est), 0], est, "C1", lw=0.3, label="estimate")
+        axes[i + 1].set_title(f"source {name}")
+        axes[i + 1].legend(loc="upper right")
+    axes[-1].set_xlabel("time (s)")
+    fig.tight_layout()
+    fig.savefig("demo-separation-quality.png", dpi=90)
+    plt.close(fig)
+
+
+def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0) -> dict:
+    """Workload 3: transcription @ 44.1 kHz with ground-truth pianoroll."""
+    from gpitch_tpu.audio.pianoroll import Pianoroll
+    from gpitch_tpu.pipelines import AMT
+
+    note_c, _ = load_ref_note(fs_out=fs)
+    pitches = [60, 62, 64, 65, 67, 69, 71, 72]  # C major scale
+    rng = np.random.default_rng(3)
+    notes, events = {}, []
+    for p in pitches:
+        notes[p] = pitch_shift(note_c, p - 60.0)
+    # a simple "piece": each pitch plays 2-3 times at known times
+    t = 0.25
+    order = rng.permutation(np.repeat(pitches, 3))
+    for p in order:
+        if t > seconds - 1.0:
+            break
+        dur = min(2.0 * (len(note_c) / len(notes[p])) * 0.45, 0.9)
+        events.append((t, t + dur, int(p)))
+        t += float(rng.uniform(0.28, 0.55))
+    tracks = {p: place_notes(notes[p],
+                             [on for on, off, q in events if q == p],
+                             seconds, fs) for p in pitches}
+    mix = sum(tracks.values())
+    x = (np.arange(len(mix)) / fs).reshape(-1, 1)
+
+    roll = Pianoroll(fs=20, duration=seconds, notes=events)
+
+    t0 = time.perf_counter()
+    model = AMT(train_signals=[notes[p][: int(2 * fs)] for p in pitches],
+                train_names=[f"piano_M{p}_train.wav" for p in pitches],
+                fs=fs, test=(x, mix), pitches=pitches, window_size=2001,
+                kernel_mode="fft", max_par=10, num_inducing=160, dec=3,
+                pianoroll=roll)
+    build_s = time.perf_counter() - t0
+    losses, (compile_s, run_s) = model.optimize(maxiter=maxiter,
+                                                learning_rate=0.01, timed=True)
+    best = None
+    for thr in (0.05, 0.1, 0.15, 0.2, 0.3):
+        p_, r_, f_ = model.evaluate(threshold=thr)
+        if best is None or f_ > best[3]:
+            best = (thr, p_, r_, f_)
+
+    _plot_amt(model, roll, pitches, seconds)
+    audio_s = len(mix) / fs
+    return {
+        "workload": f"{seconds:.0f} s {len(pitches)}-pitch piece @ 44.1 kHz, "
+                    f"ws=2001, {model.nwin} windows (pitch-shifted real MAPS "
+                    "note; exact ground-truth pianoroll)",
+        "num_windows": int(model.nwin), "num_pitches": len(pitches),
+        "maxiter": maxiter,
+        "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
+        "threshold": best[0], "precision": round(best[1], 4),
+        "recall": round(best[2], 4), "f_measure": round(best[3], 4),
+        "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
+        "build_s": round(build_s, 2),
+        "audio_seconds_per_s_optimize": round(audio_s / run_s, 3),
+    }
+
+
+def _plot_amt(model, roll, pitches, seconds):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(3, 1, figsize=(12, 8), sharex=True)
+    nwin = model.nwin
+    centers = (np.arange(nwin) * 1000 + model.window_size // 2) / model.fs
+    mv = model.matrix_var
+    axes[0].imshow(mv, aspect="auto", origin="lower", cmap="magma",
+                   extent=[0, centers[-1], 0, len(pitches)])
+    axes[0].set_title("learned per-pitch variance envelope (matrix_var)")
+    est = model.pianoroll_estimate(threshold=0.1)
+    axes[1].imshow(est, aspect="auto", origin="lower", cmap="gray_r",
+                   extent=[0, centers[-1], 0, len(pitches)])
+    axes[1].set_title("thresholded pianoroll estimate")
+    gt = np.stack([roll.pr_dic[str(p)][:, 0] for p in pitches])
+    axes[2].imshow(gt, aspect="auto", origin="lower", cmap="gray_r",
+                   extent=[0, seconds, 0, len(pitches)])
+    axes[2].set_title("ground truth")
+    axes[2].set_xlabel("time (s)")
+    for ax in axes:
+        ax.set_yticks(np.arange(len(pitches)) + 0.5)
+        ax.set_yticklabels([str(p) for p in pitches], fontsize=7)
+    fig.tight_layout()
+    fig.savefig("demo-amt-quality.png", dpi=90)
+    plt.close(fig)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="shrunken sizes (smoke test)")
+    ap.add_argument("--only", choices=["real_audio", "separation", "amt"],
+                    default=None)
+    args = ap.parse_args()
+
+    import jax
+    report = {"backend": jax.default_backend(),
+              "device": jax.devices()[0].device_kind,
+              "x64": bool(jax.config.jax_enable_x64)}
+
+    jobs = {
+        "real_audio": lambda: run_real_audio(steps=500 if args.quick else 10000),
+        "separation": lambda: run_separation(
+            maxiter=40 if args.quick else 500,
+            seconds=2.0 if args.quick else 14.0),
+        "amt": lambda: run_amt(maxiter=40 if args.quick else 500,
+                               seconds=2.0 if args.quick else 10.0),
+    }
+    for name, job in jobs.items():
+        if args.only and name != args.only:
+            continue
+        t0 = time.perf_counter()
+        report[name] = job()
+        report[name]["wall_s"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps({name: report[name]}, indent=1))
+
+    if not args.only and not args.quick:
+        with open(OUT_JSON, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

@@ -91,11 +91,29 @@ def test_separation_end_to_end():
         assert abs(center_time - c) < 0.2, (i, center_time)
 
 
-def test_separation_offgrid_fallback_warns_and_works():
-    """Off-grid time vectors must trigger the direct-path fallback loudly
-    (round-1 VERDICT weak #3), and the fallback bank must optimize correctly."""
+def test_separation_uniform_shift_stays_on_grid():
+    """A globally shifted time vector is on-grid after centering (SGPR.create
+    stores X - x0): the kernel is stationary, only differences matter, so the
+    fast lag-table path must still engage — no fallback, no warning."""
+    import warnings
+
     train, names, (x, mix), _ = _separation_fixture()
-    x_off = x + 0.3 / FS  # not integer multiples of 1/fs
+    x_off = x + 0.3 / FS  # uniform shift: differences unchanged
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        model = SoSp(train_signals=train, train_names=names, fs=FS,
+                     mixture=(x_off, mix), window_size=501, kernel_mode="fft",
+                     max_par=2, num_inducing=24, dec=8)
+    assert model.bank.grid_dt is not None  # lag-table path in use
+
+
+def test_separation_offgrid_fallback_warns_and_works():
+    """Genuinely off-grid (non-uniformly jittered) time vectors must trigger
+    the direct-path fallback loudly (round-1 VERDICT weak #3), and the
+    fallback bank must optimize correctly."""
+    train, names, (x, mix), _ = _separation_fixture()
+    rng = np.random.default_rng(11)
+    x_off = x + rng.uniform(-0.3, 0.3, x.shape) / FS  # per-sample jitter
     with pytest.warns(RuntimeWarning, match="grid.*unavailable|not on the grid"):
         model = SoSp(train_signals=train, train_names=names, fs=FS,
                      mixture=(x_off, mix), window_size=501, kernel_mode="fft",

@@ -240,17 +240,62 @@ def test_sgpr_grid_path_exact():
     xnew = x[:40]
     m1, v1 = direct.predict_s(xnew)
     m2, v2 = grid.predict_s(xnew)
-    for a, b in zip(m1, m2):
+    # source chunking with a ragged final chunk (source_batch=2, s=5) must
+    # reproduce the same values
+    m3, v3 = grid.predict_s(xnew, source_batch=2)
+    for a, b, c in zip(m1, m2, m3):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
                                    atol=1e-10)
-    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
+    for a, b, c in zip(v1, v2, v3):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-7,
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-7,
                                    atol=1e-10)
 
     # off-grid inputs are rejected
     with np.testing.assert_raises(ValueError):
         SGPRSS.create(x + 1e-5, y, kern(), Z=z, noise_variance=0.1,
                       grid_dt=1.0 / fs)
+
+
+def test_grid_and_direct_agree_in_f32():
+    """Late-window fixture (t0 = 13 s) in f32: grid and centered-direct paths
+    must agree with each other AND with the f64 value to 2e-4 relative — the
+    committed tolerance of docs/F32_ACCURACY.md (round-1 weak #2: the paths
+    disagreed by 0.65% before X/Z centering)."""
+    from gpitch_tpu.kernels import Matern12sm, StackedSum
+
+    fs = 16000.0
+    ws, m = 512, 64
+    x = ((int(13 * fs) + np.arange(ws)) / fs).reshape(-1, 1)  # f64 numpy
+    rng = np.random.default_rng(9)
+    y = (0.2 * np.cos(2 * np.pi * 261.63 * x)
+         + 0.01 * rng.standard_normal((ws, 1)))
+    z = x[::8][:m]
+
+    def kern():
+        return StackedSum.create([
+            Matern12sm.create(1.0, 0.05, [1.0, 0.5, 0.25],
+                              [f0, 2 * f0, 3 * f0], train_energy=True)
+            for f0 in (261.63, 329.63, 392.0)])
+
+    def to_f32(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, t)
+
+    direct = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1)
+    grid = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1,
+                         grid_dt=1.0 / fs)
+    truth = float(direct.elbo())  # f64 (x64 on in tests)
+    e_direct32 = float(to_f32(direct).elbo())
+    e_grid32 = float(to_f32(grid).elbo())
+    np.testing.assert_allclose(e_direct32, truth, rtol=2e-4)
+    np.testing.assert_allclose(e_grid32, truth, rtol=2e-4)
+    np.testing.assert_allclose(e_grid32, e_direct32, rtol=2e-4)
 
 
 def test_sgpr_grid_path_sparse_on_grid_inputs():
