@@ -96,7 +96,8 @@ class SGPR:
     X: Any = None
     Y: Any = None
     Z: Any = None                 # inducing inputs (M, 1)
-    x0: Any = None                # per-window time offset, () non-trainable
+    x0: Any = None                # per-window time offset, high part, ()
+    x0_lo: Any = None             # low part (double-single split, see create)
     mask: Any = None              # (N,) float or None
     reg: bool = static_field(False)
     reg_beta: float = static_field(1000.0)
@@ -142,9 +143,15 @@ class SGPR:
             xvalid = xarr[mvalid] if mvalid.any() else xarr
         else:
             xvalid = xarr
-        # x0 is rounded to an exactly-f32-representable value so the stored
-        # Param loses nothing at f32 and device-side `Xnew - x0` is exact
-        x0 = float(_np.float32(min(xvalid.min(), zarr.min()))) if center else 0.0
+        # x0 = exact f64 min of the inputs: centering then preserves the
+        # on-grid property for any grid phase (x0 is itself an input value).
+        # f32 model leaves cannot hold x0 losslessly at t0 ~ 14 s, so it is
+        # stored as a double-single (hi, lo) pair: hi = f32(x0), lo = x0 - hi.
+        # Device-side `Xnew - hi - lo` is then exact to f32, and hosts recover
+        # the f64 value as hi + lo (windowed_sgpr._centered_windows).
+        x0 = float(min(xvalid.min(), zarr.min())) if center else 0.0
+        x0_hi = float(_np.float32(x0))
+        x0_lo = x0 - x0_hi
         X = (_np.asarray(X, dtype=_np.float64) - x0).reshape(-1, 1)
         Z = zarr.reshape(-1, 1) - x0
         if grid_dt is not None:
@@ -169,7 +176,8 @@ class SGPR:
                    X=Param.create(X, trainable=False),
                    Y=Param.create(Y, trainable=False),
                    Z=Param.create(Z, trainable=False),
-                   x0=Param.create(x0, trainable=False),
+                   x0=Param.create(x0_hi, trainable=False),
+                   x0_lo=Param.create(x0_lo, trainable=False),
                    mask=None if mask is None else Param.create(jnp.asarray(mask),
                                                                trainable=False),
                    reg=reg, grid_dt=grid_dt, num_lags=num_lags,
@@ -272,7 +280,9 @@ class SGPR:
         f64) — the pipelines do this so f32 prediction accuracy doesn't hinge
         on a device-side big-value subtraction."""
         if not pre_centered:
-            Xnew = Xnew - self.x0.value  # stored X/Z are centered (see create)
+            # stored X/Z are centered (see create); two-step subtraction keeps
+            # f32 exactness via the double-single (hi, lo) split
+            Xnew = (Xnew - self.x0.value) - self.x0_lo.value
         err, _, L_inv, A, _, (_, LB_inv), c, sigma2 = self._common()
         kus = self.kern.K(self.Z.value, Xnew)
         tmp1 = L_inv @ kus
@@ -332,7 +342,8 @@ class SGPRSS(SGPR):
         proven cheap in the training path).
         """
         if not pre_centered:
-            Xnew = Xnew - self.x0.value  # stored X/Z are centered (see create)
+            # stored X/Z are centered (see create); double-single subtraction
+            Xnew = (Xnew - self.x0.value) - self.x0_lo.value
         x, y = self.X.value, self.Y.value
         sigma2 = self.variance.value
         grid = self.grid_dt is not None

@@ -15,7 +15,8 @@ from ..kernels import (Matern12, Matern32, Matern52, Matern32sm, MercerCosMix,
                        MercerMatern12sm)
 from ..utils.math import find_ideal_f0
 
-__all__ = ["init_liv", "init_iv", "init_kernel_training", "init_kern_act",
+__all__ = ["init_liv", "init_liv_robust", "init_iv", "init_kernel_training",
+           "init_kern_act",
            "init_kern_com", "init_kern", "init_kern_mercer_product",
            "init_kernel_with_trained_models"]
 
@@ -36,7 +37,8 @@ def init_liv(x, y, num_sources: int = 1, win_size: int = 9, thres: float = 0.002
     y = np.asarray(y).reshape(-1)
 
     energy = _smooth(np.abs(y), 1600)
-    energy = energy / np.max(energy)
+    peak = np.max(energy)
+    energy = energy / (peak if peak > 0 else 1.0)  # silent window: keep zeros
     y_smooth = _smooth(y, win_size)
 
     sign = np.sign(np.gradient(y_smooth))
@@ -50,6 +52,23 @@ def init_liv(x, y, num_sources: int = 1, win_size: int = 9, thres: float = 0.002
     za = [x_final[::dec].copy() for _ in range(num_sources)]
     zc = [x_final[::dec].copy() for _ in range(num_sources)]
     return [za, zc], y_final[::dec]
+
+
+def init_liv_robust(x, y, dec: int = 1, min_points: int = 8, **kw):
+    """``init_liv`` for one window, with a uniform-grid fallback for (near-)
+    silent windows: a real recording's gaps between notes have no extrema
+    above the energy gate, and a windowed bank needs >=1 inducing point per
+    window (pad_inducing cannot pad an empty set).  The fallback subset is
+    taken from the window's own samples, so the lag-table path stays exact.
+    Returns an (M, 1) array."""
+    z, _ = init_liv(x, y, num_sources=1, dec=dec, **kw)
+    zi = z[0][0]
+    if zi.shape[0] < min_points:
+        x = np.asarray(x).reshape(-1, 1)
+        count = max(min_points, 16)
+        step = max(1, x.shape[0] // count)
+        zi = x[::step][:count].copy()
+    return zi
 
 
 def init_iv(x, num_sources: int, nivps_a: int, nivps_c: int, fs: float):

@@ -24,7 +24,7 @@ from ..audio.spectrum import init_cparam
 from ..audio.windowing import merged_mean, merged_variance, window_stack
 from ..kernels import Sum  # noqa: F401 (re-export compat)
 from ..utils.math import find_ideal_f0
-from .init import init_kern_com, init_liv
+from .init import init_kern_com, init_liv, init_liv_robust  # noqa: F401
 from .kernel_learning import fit_kernel, sample_cov
 from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
                             pitch_variances, predict_bank_mixture,
@@ -115,11 +115,10 @@ class SoSp:
         self.yw = window_stack(self.y, window_size)
         self.nwin = self.xw.shape[0]
 
-        # inducing points at signal extrema per window (separation.py:238-250)
-        z_list = []
-        for i in range(self.nwin):
-            z, _ = init_liv(self.xw[i], self.yw[i], num_sources=1, dec=dec)
-            z_list.append(z[0][0])
+        # inducing points at signal extrema per window (separation.py:238-250),
+        # uniform-grid fallback for silent windows (gaps between notes)
+        z_list = [init_liv_robust(self.xw[i], self.yw[i], dec=dec)
+                  for i in range(self.nwin)]
         self.grid_dt = 1.0 / fs
         self.z = pad_inducing(z_list, num_inducing,
                               grid_dt=self.grid_dt)      # (nw, M, 1)

@@ -15,7 +15,7 @@ import numpy as np
 from ..audio.pianoroll import Pianoroll
 from ..audio.windowing import window_stack
 from ..kernels import Sum  # noqa: F401 (re-export compat)
-from .init import init_kern_com, init_liv
+from .init import init_kern_com, init_liv, init_liv_robust  # noqa: F401
 from .separation import learn_pitch_params
 from .windowed_sgpr import (build_window_bank, optimize_bank, pad_inducing,
                             pitch_variances, sum_kernel)
@@ -85,10 +85,9 @@ class AMT:
         self.yw = window_stack(self.y, window_size)
         self.nwin = self.xw.shape[0]
 
-        z_list = []
-        for i in range(self.nwin):
-            z, _ = init_liv(self.xw[i], self.yw[i], num_sources=1, dec=dec)
-            z_list.append(z[0][0])
+        # extrema inducing with uniform fallback for silent windows
+        z_list = [init_liv_robust(self.xw[i], self.yw[i], dec=dec)
+                  for i in range(self.nwin)]
         self.grid_dt = 1.0 / fs
         self.z = pad_inducing(z_list, num_inducing, grid_dt=self.grid_dt)
 

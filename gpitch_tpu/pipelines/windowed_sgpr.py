@@ -57,6 +57,11 @@ def pad_inducing(z_list, m: int | None = None, grid_dt=None):
     the sample grid so the lag-table fast path stays exact.
     """
     z_list = [np.asarray(z).reshape(-1, 1) for z in z_list]
+    for i, z in enumerate(z_list):
+        if z.shape[0] == 0:
+            raise ValueError(
+                f"window {i}: empty inducing set — silent windows need the "
+                "uniform fallback (pipelines.init.init_liv_robust)")
     m = m or max(z.shape[0] for z in z_list)
     step = grid_dt if grid_dt is not None else 1e-4
     out = []
@@ -159,10 +164,13 @@ def chunked_vmap(fn: Callable, bank, batch_size: int = 8):
 
 
 def _centered_windows(bank, x_windows):
-    """Per-window Xnew - x0 computed on host in f64 (bank x0 values are
-    exactly f32-representable, see SGPR.create), so f32 prediction accuracy
-    never depends on a device-side big-minus-big subtraction."""
-    x0s = np.asarray(bank.x0.value, dtype=np.float64).reshape(-1)
+    """Per-window Xnew - x0 computed on host in f64, so f32 prediction
+    accuracy never depends on a device-side big-minus-big subtraction.
+
+    x0 is stored as a double-single (hi, lo) pair of f32 leaves (SGPR.create);
+    hi + lo recovers the exact f64 offset used at build time."""
+    x0s = (np.asarray(bank.x0.value, dtype=np.float64)
+           + np.asarray(bank.x0_lo.value, dtype=np.float64)).reshape(-1)
     xc = np.asarray(x_windows, dtype=np.float64)
     xc = xc.reshape(xc.shape[0], -1) - x0s[:, None]
     return jnp.asarray(xc)

@@ -303,9 +303,14 @@ def main():
                     help="shrunken sizes (smoke test)")
     ap.add_argument("--only", choices=["real_audio", "separation", "amt"],
                     default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (harness debugging)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        # config update beats the env var (axon sitecustomize force-registers)
+        jax.config.update("jax_platforms", "cpu")
     report = {"backend": jax.default_backend(),
               "device": jax.devices()[0].device_kind,
               "x64": bool(jax.config.jax_enable_x64)}

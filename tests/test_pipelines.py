@@ -140,3 +140,44 @@ def test_amt_end_to_end():
         peak_win = np.argmax(mv[i])
         center_time = (peak_win * 1000 + 1000) / FS
         assert abs(center_time - c) < 0.25, (i, center_time)
+
+
+def test_amt88_bank_builds_and_steps():
+    """The full 88-pitch piano dictionary (round-1 VERDICT item 3), tiny
+    windows: the bank must build, take optimizer steps, and predict per-source
+    posteriors through the source-chunked path without unrolling 88 graphs."""
+    from gpitch_tpu.kernels import MercerMatern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (build_window_bank,
+                                                    optimize_bank, pad_inducing,
+                                                    pitch_variances,
+                                                    predict_bank_sources,
+                                                    sum_kernel)
+    from gpitch_tpu.utils import midi2freq
+
+    fs, ws, hop, nw = 16000.0, 64, 32, 3
+    n = hop * (nw - 1) + ws
+    rng = np.random.default_rng(2)
+    x = (np.arange(n) / fs).reshape(-1, 1)
+    y = (np.cos(2 * np.pi * midi2freq(60) * x)
+         + 0.01 * rng.standard_normal((n, 1)))
+    xw = np.stack([x[i * hop:i * hop + ws, 0] for i in range(nw)])
+    yw = np.stack([y[i * hop:i * hop + ws, 0] for i in range(nw)])
+    z = pad_inducing([xw[i, ::4].reshape(-1, 1) for i in range(nw)], None,
+                     grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([
+            MercerMatern12sm.create(0.1, 0.05, [1.0, 0.5],
+                                    [midi2freq(m), 2 * midi2freq(m)])
+            for m in range(21, 109)])  # all 88 piano pitches
+
+    bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    assert bank.kern.num_terms == 88
+    bank2, losses = optimize_bank(bank, num_steps=5, learning_rate=0.01)
+    assert float(losses[-1]) < float(losses[0])
+    mv = pitch_variances(bank2)
+    assert mv.shape == (88, nw)
+    smean, svar = predict_bank_sources(bank2, xw, batch_size=2)
+    assert smean.shape == (88, nw, ws)
+    assert np.isfinite(np.asarray(smean)).all()
+    assert (np.asarray(svar) > -1e-8).all()

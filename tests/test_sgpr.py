@@ -298,6 +298,36 @@ def test_grid_and_direct_agree_in_f32():
     np.testing.assert_allclose(e_grid32, e_direct32, rtol=2e-4)
 
 
+def test_grid_path_survives_late_windows_at_44k():
+    """Windows deep into a 44.1 kHz recording must keep the lag-table path:
+    round-2 regression — f32-rounding the centering offset x0 pushed inputs
+    off-grid by ~1e-6 s at t0 ~ 13 s and silently demoted pipelines to the
+    direct path.  x0 is now a double-single (hi, lo) pair."""
+    from gpitch_tpu.kernels import Matern12sm
+
+    fs = 44100.0
+    start = int(13.5 * fs)
+    ws = 256
+    x = ((start + np.arange(ws)) / fs).reshape(-1, 1)
+    rng = np.random.default_rng(12)
+    y = 0.3 * rng.standard_normal((ws, 1))
+    z = x[::8][:24]
+    kern = Matern12sm.create(1.0, 0.05, [1.0], [440.0])
+    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+    direct = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1)
+    np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
+                               rtol=1e-10)
+    # the double-single split reconstructs the exact f64 offset
+    x0 = float(np.asarray(grid.x0.value, np.float64)
+               + np.asarray(grid.x0_lo.value, np.float64))
+    assert abs(x0 - start / fs) < 1e-12
+    # and a phase-shifted grid still centers onto itself (x0 = min input)
+    shifted = SGPRSS.create(x + 0.37 / fs, y, kern, Z=z + 0.37 / fs,
+                            noise_variance=0.1, grid_dt=1.0 / fs)
+    np.testing.assert_allclose(float(shifted.elbo()), float(grid.elbo()),
+                               rtol=1e-9)
+
+
 def test_sgpr_grid_path_sparse_on_grid_inputs():
     """Decimated (sparse but on-grid) X: the lag table must cover the index
     *span*, not just N+M — previously OOB gathers clamped and silently
