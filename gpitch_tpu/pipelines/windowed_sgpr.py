@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.base import StackedSum, Sum, stack_modules, unstack_modules
-from ..models.fit import fit_adam, fit_adam_timed, fit_lbfgs
+from ..models.fit import fit_adam, fit_adam_segmented, fit_adam_timed, fit_lbfgs
 from ..models.sgpr import SGPRSS
 
 __all__ = ["pad_inducing", "build_window_bank", "bank_loss", "optimize_bank",
@@ -125,13 +125,29 @@ def bank_loss(bank):
 
 
 def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
-                  method: str = "adam", timed: bool = False):
+                  method: str = "adam", timed: bool = False,
+                  segment: int | None = 50):
     """Optimize every window simultaneously; returns (bank, losses).
 
     ``timed=True`` (adam only) additionally returns (compile_s, run_s) —
-    XLA compilation vs execution of the whole schedule (fit_adam_timed).
+    XLA compilation vs execution of the whole schedule.
+
+    ``segment``: Adam runs as re-invocations of one compiled segment-length
+    scan (fit_adam_segmented) so no single device dispatch exceeds a few
+    seconds — a whole-schedule scan over a reference-scale bank (~223 windows
+    x 500 steps) is minutes of device time in one XLA execution, long enough
+    to trip RPC deadlines on relayed TPU runtimes.  ``segment=None`` restores
+    the single-dispatch scan.
     """
     if method == "adam":
+        if segment is not None:
+            bank, losses, compile_s, run_s = fit_adam_segmented(
+                bank, lambda b: bank_loss(b), num_steps=num_steps,
+                learning_rate=learning_rate,
+                segment=min(segment, num_steps))
+            if timed:
+                return bank, losses, (compile_s, run_s)
+            return bank, losses
         if timed:
             bank, losses, compile_s, run_s = fit_adam_timed(
                 bank, lambda b: bank_loss(b), num_steps=num_steps,

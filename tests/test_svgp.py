@@ -215,3 +215,21 @@ def test_ragged_padding_matches_unpadded_conditionals():
     # padding adds nothing to the whitened KL either
     np.testing.assert_allclose(float(padded.prior_kl()), kl_single,
                                rtol=1e-8, atol=1e-9)
+
+
+def test_fit_adam_segmented_matches_fit_adam():
+    """Deterministic (no-minibatch) path: segment-of-scans == one scan, and the
+    caller's model buffers survive donation."""
+    from gpitch_tpu.models import fit_adam_segmented
+    model = make_model(s=1, m=8)
+    x, y, _, _ = synth_data(100)
+    loss_fn = lambda m: m.loss(x, y, num_data=100)
+    m1, l1 = fit_adam(model, lambda m, : loss_fn(m), num_steps=12)
+    m2, l2, compile_s, run_s = fit_adam_segmented(model, loss_fn, num_steps=12,
+                                                  segment=5)
+    np.testing.assert_allclose(l1, l2, rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    # donation must not have consumed the caller's arrays
+    assert np.isfinite(float(loss_fn(model)))
+    assert compile_s >= 0.0 and run_s > 0.0
