@@ -63,6 +63,40 @@ class Timer:
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
+    @staticmethod
+    def time_fn_loop(make_fn, loop_iters: int = 50, reps: int = 5,
+                     warmup: int = 1):
+        """Amortized seconds per call, dispatch-free.
+
+        ``time_fn`` measures one host->device dispatch per call; on a relayed
+        (tunneled) TPU that round-trip is ~tens of ms, which swamps any kernel
+        under ~1 GFLOP — exactly the regime of single covariance builds.  Here
+        ``make_fn(eps)`` must return an array whose value depends on the
+        scalar ``eps``; the loop feeds a tiny data-dependent scalar from each
+        iteration's output into the next call, so XLA can neither hoist the
+        body out of the loop nor CSE the iterations, and all ``loop_iters``
+        evaluations run back-to-back on device in ONE dispatch.
+        """
+        import jax.numpy as jnp
+        from jax import lax
+
+        def loop(eps0):
+            def body(_, carry):
+                out = make_fn(carry)
+                return jnp.real(out.ravel()[0]).astype(jnp.float32) * 1e-20
+            return lax.fori_loop(0, loop_iters, body, eps0)
+
+        run = jax.jit(loop)
+        zero = jnp.float32(0.0)
+        for _ in range(warmup):
+            run(zero).block_until_ready()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(zero).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / loop_iters
+
 
 # --- analytical FLOPs models ------------------------------------------------
 

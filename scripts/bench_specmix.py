@@ -55,27 +55,31 @@ def main():
         var = jnp.asarray(rng.uniform(0.5, 1.5, (batch,)), jnp.float32)
         ls = jnp.asarray(rng.uniform(0.01, 0.1, (batch,)), jnp.float32)
 
-        def xla_fn(e=energy, f=freq, v=var, l=ls):
+        # eps is a data-dependent scalar threaded by Timer.time_fn_loop so the
+        # loop body can't be hoisted/CSE'd; it perturbs variance by ~1e-20.
+        def xla_fn(eps, e=energy, f=freq, v=var, l=ls):
             if batch == 1:
-                return specmix_matrix_xla(x, x2, e[0], f[0], v[0], l[0])
+                return specmix_matrix_xla(x, x2, e[0], f[0], v[0] + eps, l[0])
             return jax.vmap(lambda ei, fi, vi, li: specmix_matrix_xla(
-                x, x2, ei, fi, vi, li))(e, f, v, l)
+                x, x2, ei, fi, vi, li))(e, f, v + eps, l)
 
-        def pallas_fn(e=energy, f=freq, v=var, l=ls):
+        def pallas_fn(eps, e=energy, f=freq, v=var, l=ls):
             if batch == 1:
-                return specmix_matrix(x, x2, e[0], f[0], v[0], l[0],
+                return specmix_matrix(x, x2, e[0], f[0], v[0] + eps, l[0],
                                       interpret=not on_tpu)
             return jax.vmap(lambda ei, fi, vi, li: specmix_matrix(
-                x, x2, ei, fi, vi, li, interpret=not on_tpu))(e, f, v, l)
+                x, x2, ei, fi, vi, li, interpret=not on_tpu))(e, f, v + eps, l)
 
-        xla_jit = jax.jit(xla_fn)
-        t_xla = Timer.time_fn(xla_jit, iters=20, warmup=3)
+        # loop enough iterations that per-call time >> dispatch/iter overhead
+        loop_iters = max(10, min(400, int(2e9 / (4 * n * m * p * batch))))
+        t_xla = Timer.time_fn_loop(xla_fn, loop_iters=loop_iters)
         try:
-            pallas_jit = jax.jit(pallas_fn)
             # correctness guard before timing
-            a, b = np.asarray(pallas_jit()), np.asarray(xla_jit())
+            zero = jnp.float32(0.0)
+            a = np.asarray(jax.jit(pallas_fn)(zero))
+            b = np.asarray(jax.jit(xla_fn)(zero))
             err = float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30))
-            t_pal = Timer.time_fn(pallas_jit, iters=20, warmup=3)
+            t_pal = Timer.time_fn_loop(pallas_fn, loop_iters=loop_iters)
         except Exception as e:  # pallas lowering may fail off-TPU
             t_pal, err = float("nan"), float("nan")
             print(f"  {label}: pallas failed: {type(e).__name__}: {e}",

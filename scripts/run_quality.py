@@ -330,10 +330,15 @@ def main():
         report[name] = job()
         report[name]["wall_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({name: report[name]}, indent=1))
-
-    if not args.only and not args.quick:
-        with open(OUT_JSON, "w") as fh:
-            json.dump(report, fh, indent=1)
+        if not args.quick:
+            # merge incrementally so partial/`--only` runs update the record
+            merged = {}
+            if os.path.exists(OUT_JSON):
+                with open(OUT_JSON) as fh:
+                    merged = json.load(fh)
+            merged.update(report)
+            with open(OUT_JSON, "w") as fh:
+                json.dump(merged, fh, indent=1)
         print(f"wrote {OUT_JSON}")
 
 

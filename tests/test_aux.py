@@ -108,6 +108,19 @@ def test_profiling_helpers():
     assert log.summary()["elbo"] == -5.0
 
 
+def test_time_fn_loop_amortizes_dispatch():
+    """Amortized on-device loop timing: positive, and counts each iteration
+    (a loop of K data-dependent evaluations / K is at most ~one dispatch)."""
+    x = jnp.ones((32, 32))
+    t_loop = Timer.time_fn_loop(lambda eps: (x + eps) @ x,
+                                loop_iters=8, reps=2, warmup=1)
+    t_disp = Timer.time_fn(jax.jit(lambda eps: (x + eps) @ x),
+                           jnp.float32(0.0), iters=3, warmup=1)
+    assert t_loop > 0
+    # per-call amortized time can't exceed a full dispatch by much
+    assert t_loop < 10 * t_disp
+
+
 def test_load_filenames(tmp_path):
     for name in ["011PF_M60_train.wav", "011PF_M64_train.wav", "other_M60.txt"]:
         open(os.path.join(tmp_path, name), "w").close()
