@@ -96,11 +96,51 @@ def run_svgp(backend, num_steps=2000, minibatch=100):
     return num_steps / dt, final
 
 
+def _bank_step_report(nw, n, m, s, p, seconds_per_step):
+    from gpitch_tpu.utils.profiling import (flops_sgpr_bank_step,
+                                            utilization_report)
+    util = utilization_report(flops_sgpr_bank_step(nw, n, m, s, p),
+                              seconds_per_step)
+    return {"mfu": round(util["mfu"], 5),
+            "achieved_gflops": round(util["achieved_flops"] / 1e9, 1)}
+
+
+def _bank_breakdown(bank):
+    """Forward loss vs loss+grad time, amortized dispatch-free (ms).
+
+    The eps perturbation threads time_fn_loop's data dependence through the
+    noise-variance leaf so iterations cannot be hoisted or CSE'd.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gpitch_tpu.core.params import Param
+    from gpitch_tpu.pipelines.windowed_sgpr import bank_loss
+    from gpitch_tpu.utils.profiling import Timer
+
+    def perturbed(eps):
+        v = bank.variance
+        return bank.replace(variance=Param(jnp.asarray(v.raw) + eps,
+                                           v.transform, v.trainable))
+
+    def fwd(eps):
+        return bank_loss(perturbed(eps))
+
+    def val_grad(eps):
+        loss, grads = jax.value_and_grad(lambda b: bank_loss(b))(perturbed(eps))
+        return loss + jnp.sum(jnp.asarray(grads.variance.raw)) * 1e-20
+
+    fwd_s = Timer.time_fn_loop(fwd, loop_iters=30)
+    step_s = Timer.time_fn_loop(val_grad, loop_iters=30)
+    return {"forward_ms": round(fwd_s * 1e3, 3),
+            "forward_plus_grad_ms": round(step_s * 1e3, 3)}
+
+
 def run_separation_bank(maxiter=500, seconds=4.0):
     """Windowed-SGPR separation bank: audio-seconds optimized per second.
 
-    3 pitches, ws=2001, lag-table path — the compute core of the SoSp
-    pipeline at reference window size (separation.py:92-99).
+    3 pitches, ws=2001, direct MXU feature-matmul covariance path — the
+    compute core of the SoSp pipeline at reference window size
+    (separation.py:92-99).
     """
     from gpitch_tpu.audio import synth_piano_note
     from gpitch_tpu.audio.windowing import window_stack
@@ -128,16 +168,21 @@ def run_separation_bank(maxiter=500, seconds=4.0):
                                     [midi2freq(m) * (k + 1) for k in range(5)])
             for m in (60, 64, 67)])
 
-    bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
     t0 = time.perf_counter()
+    bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    build_s = time.perf_counter() - t0
     bank, losses, (compile_s, run_s) = optimize_bank(
         bank, num_steps=maxiter, learning_rate=0.01, timed=True)
     float(np.asarray(losses)[-1])
     audio_s = mix.shape[0] / fs
-    return {"audio_s": audio_s, "num_windows": int(nw), "maxiter": maxiter,
-            "compile_s": round(compile_s, 1), "optimize_s": round(run_s, 2),
-            "audio_s_per_s": round(audio_s / run_s, 2),
-            "steps_per_s": round(maxiter / run_s, 1)}
+    out = {"audio_s": audio_s, "num_windows": int(nw), "maxiter": maxiter,
+           "build_s": round(build_s, 2),
+           "compile_s": round(compile_s, 1), "optimize_s": round(run_s, 2),
+           "audio_s_per_s": round(audio_s / run_s, 2),
+           "steps_per_s": round(maxiter / run_s, 1)}
+    out.update(_bank_step_report(int(nw), ws, 112, 3, 5, run_s / maxiter))
+    out["breakdown"] = _bank_breakdown(bank)
+    return out
 
 
 def run_amt88_bank(maxiter=100, num_windows=16):
@@ -179,13 +224,17 @@ def run_amt88_bank(maxiter=100, num_windows=16):
         bank, num_steps=maxiter, learning_rate=0.01, timed=True)
     final = float(np.asarray(losses)[-1])
     audio_s = n / fs
-    return {"audio_s": round(audio_s, 2), "num_windows": num_windows,
-            "num_pitches": 88, "maxiter": maxiter,
-            "build_s": round(build_s, 1), "compile_s": round(compile_s, 1),
-            "optimize_s": round(run_s, 2),
-            "steps_per_s": round(maxiter / run_s, 1),
-            "audio_s_per_s": round(audio_s / run_s, 2),
-            "loss_final": round(final, 1)}
+    out = {"audio_s": round(audio_s, 2), "num_windows": num_windows,
+           "num_pitches": 88, "maxiter": maxiter,
+           "build_s": round(build_s, 2), "compile_s": round(compile_s, 1),
+           "optimize_s": round(run_s, 2),
+           "steps_per_s": round(maxiter / run_s, 1),
+           "audio_s_per_s": round(audio_s / run_s, 2),
+           "loss_final": round(final, 1)}
+    out.update(_bank_step_report(num_windows, ws, 154, 88, 20,
+                                 run_s / maxiter))
+    out["breakdown"] = _bank_breakdown(bank)
+    return out
 
 
 def main():
@@ -212,6 +261,10 @@ def main():
     extras["svgp_achieved_gflops"] = round(util["achieved_flops"] / 1e9, 1)
     try:
         extras["separation"] = run_separation_bank()
+        # BASELINE.md's stated workload metric, promoted to a first-class
+        # number (round-2 VERDICT weak #7): audio-seconds of 3-source
+        # separation optimized per wall-second on one chip
+        extras["separation_audio_s_per_s"] = extras["separation"]["audio_s_per_s"]
     except Exception as e:  # pragma: no cover
         extras["separation"] = {"error": f"{type(e).__name__}: {e}"}
     try:

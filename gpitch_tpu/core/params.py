@@ -21,6 +21,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import default_float
 from .transforms import Identity, Positive, Transform
@@ -47,8 +48,15 @@ class Param:
     @classmethod
     def create(cls, value, transform: Transform = Identity(), trainable: bool = True,
                dtype=None) -> "Param":
+        """Host values stay numpy: ``raw`` only becomes a device buffer when
+        the model enters jit (one bulk transfer).  Per-Param jnp math here
+        meant one ~30 ms relayed-TPU dispatch per parameter — 88-pitch bank
+        construction alone cost ~12 s (round 3, docs/LAG_TABLE.md era fix)."""
         dtype = dtype or default_float()
-        value = jnp.asarray(value, dtype=dtype)
+        if isinstance(value, jax.Array):
+            value = jnp.asarray(value, dtype=dtype)
+        else:
+            value = np.asarray(value, dtype=dtype)
         return cls(transform.inverse(value), transform, trainable)
 
     # -- value access ------------------------------------------------------

@@ -4,14 +4,22 @@ Replaces gpflow ``transforms`` used throughout the reference kernels
 (/root/reference/gpitch/kernels.py:220-224, matern12_spectral_mixture.py:26-32):
 ``positive`` (softplus) and ``Logistic(a, b)`` bounds, plus a lower-triangular
 pack used by the NonParam kernel (kernels.py:488-489) and variational q_sqrt
-factors.  Pure functions of jnp arrays; every transform is a frozen dataclass
-registered as a static pytree aux so it can live inside jit without retracing.
+factors.  Every transform is a frozen dataclass registered as a static pytree
+aux so it can live inside jit without retracing.
+
+Namespace-generic: each op runs in **numpy for host inputs** and jnp for
+device arrays/tracers.  Model construction (Param.create -> inverse) happens
+on the host, so building an 88-pitch kernel bank issues zero device
+dispatches — on a relayed TPU each tiny dispatch is ~tens of ms, and per-Param
+device math made bank construction O(10 s) (round-3 measurement); inside jit
+the forward maps are traced as jnp as before.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,15 +36,20 @@ __all__ = [
 _SOFTPLUS_CLIP = 30.0
 
 
-def _softplus(x):
+def _ns(x):
+    """jnp for device arrays/tracers, numpy for host data."""
+    return jnp if isinstance(x, jax.Array) else np
+
+
+def _softplus(x, xp):
     # numerically stable log(1+e^x)
-    return jnp.where(x > _SOFTPLUS_CLIP, x, jnp.log1p(jnp.exp(jnp.minimum(x, _SOFTPLUS_CLIP))))
+    return xp.where(x > _SOFTPLUS_CLIP, x,
+                    xp.log1p(xp.exp(xp.minimum(x, _SOFTPLUS_CLIP))))
 
 
-def _softplus_inv(y):
-    y = jnp.asarray(y)
+def _softplus_inv(y, xp):
     # log(e^y - 1), stable for large y
-    return jnp.where(y > _SOFTPLUS_CLIP, y, jnp.log(-jnp.expm1(-y)) + y)
+    return xp.where(y > _SOFTPLUS_CLIP, y, xp.log(-xp.expm1(-y)) + y)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,10 +83,11 @@ class Positive(Transform):
     lower: float = 1e-6
 
     def forward(self, x):
-        return _softplus(x) + self.lower
+        return _softplus(x, _ns(x)) + self.lower
 
     def inverse(self, y):
-        return _softplus_inv(jnp.maximum(jnp.asarray(y) - self.lower, 1e-20))
+        xp = _ns(y)
+        return _softplus_inv(xp.maximum(xp.asarray(y) - self.lower, 1e-20), xp)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,16 +102,19 @@ class Logistic(Transform):
     b: float = 1.0
 
     def forward(self, x):
-        return self.a + (self.b - self.a) * jax_sigmoid(x)
+        xp = _ns(x)
+        return self.a + (self.b - self.a) * 0.5 * (xp.tanh(0.5 * x) + 1.0)
 
     def inverse(self, y):
-        t = (jnp.asarray(y) - self.a) / (self.b - self.a)
-        t = jnp.clip(t, 1e-12, 1.0 - 1e-12)
-        return jnp.log(t) - jnp.log1p(-t)
+        xp = _ns(y)
+        t = (xp.asarray(y) - self.a) / (self.b - self.a)
+        t = xp.clip(t, 1e-12, 1.0 - 1e-12)
+        return xp.log(t) - xp.log1p(-t)
 
 
 def jax_sigmoid(x):
-    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+    xp = _ns(x)
+    return 0.5 * (xp.tanh(0.5 * x) + 1.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,10 +136,10 @@ class FillTriangular(Transform):
     # with equally cheap VJPs, no scatter/gather anywhere).
 
     def forward(self, x):
-        x = jnp.asarray(x)
-        xc = jnp.concatenate([x[..., self.n:], jnp.flip(x, axis=-1)], axis=-1)
+        xp = _ns(x)
+        xc = xp.concatenate([x[..., self.n:], xp.flip(x, axis=-1)], axis=-1)
         y = xc.reshape(x.shape[:-1] + (self.n, self.n))
-        return jnp.tril(y)
+        return xp.tril(y)
 
     def inverse(self, y):
         # static index map: packed slot t lives at (ii[t], jj[t]) under forward
@@ -132,7 +149,8 @@ class FillTriangular(Transform):
         xc = np.concatenate([k[n:], k[::-1]]).reshape(n, n)
         ii, jj = np.tril_indices(n)
         order = np.argsort(xc[ii, jj])
-        return jnp.asarray(y)[..., ii[order], jj[order]]
+        xp = _ns(y)
+        return xp.asarray(y)[..., ii[order], jj[order]]
 
 
 positive = Positive()

@@ -228,7 +228,18 @@ def stack_modules(mods: Sequence[Any]):
     if len(treedefs) != 1:
         raise ValueError("stack_modules requires homogeneous modules; got "
                          f"{len(treedefs)} distinct structures")
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *mods)
+
+    import numpy as np
+
+    def _stack(*xs):
+        # host leaves stack on the host: freshly constructed Params are numpy
+        # (core/params.py), and issuing one tiny device stack per leaf costs
+        # an XLA compile + relay dispatch each (~6 s for an 88-pitch bank)
+        if any(isinstance(x, jax.Array) for x in xs):
+            return jnp.stack(xs)
+        return np.stack(xs)
+
+    return jax.tree_util.tree_map(_stack, *mods)
 
 
 def unstack_modules(stacked, n: int):

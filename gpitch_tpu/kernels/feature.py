@@ -146,8 +146,8 @@ class MeanGP(Kernel):
     def create(cls, xkern, fkern, variance=1.0, plen=1.0, pvar=1.0):
         return cls(variance=Param.create(variance, Positive()),
                    kern=RBF.create(variance=pvar, lengthscales=plen),
-                   xkern=Param.create(jnp.asarray(xkern).reshape(-1, 1), trainable=False),
-                   fkern=Param.create(jnp.asarray(fkern).reshape(-1, 1), trainable=False))
+                   xkern=Param.create(np.asarray(xkern).reshape(-1, 1), trainable=False),
+                   fkern=Param.create(np.asarray(fkern).reshape(-1, 1), trainable=False))
 
     def _interp(self, r_flat):
         xk = self.xkern.value

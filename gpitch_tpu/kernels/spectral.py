@@ -91,9 +91,9 @@ class Matern12sm(Kernel):
         return cls(
             variance=Param.create(variance, Positive()),
             lengthscales=Param.create(lengthscales, Positive(), trainable=not len_fixed),
-            energy=Param.create(jnp.asarray(energy).reshape(-1), Positive(),
+            energy=Param.create(np.asarray(energy).reshape(-1), Positive(),
                                 trainable=train_energy),
-            frequency=Param.create(jnp.asarray(frequency).reshape(-1), Positive(),
+            frequency=Param.create(np.asarray(frequency).reshape(-1), Positive(),
                                    trainable=train_frequency),
         )
 
@@ -160,9 +160,9 @@ class Matern32sm(Kernel):
             frequencies = 1.0 + np.arange(num_partials, dtype=float)
         return cls(
             lengthscales=Param.create(lengthscales, Logistic(0.0, len_bound)),
-            variance=Param.create(jnp.asarray(variances).reshape(-1),
+            variance=Param.create(np.asarray(variances).reshape(-1),
                                   Logistic(0.0, var_bound), trainable=train_vars),
-            frequency=Param.create(jnp.asarray(frequencies).reshape(-1), Positive(),
+            frequency=Param.create(np.asarray(frequencies).reshape(-1), Positive(),
                                    trainable=train_freqs),
         )
 
@@ -225,11 +225,11 @@ class Matern32sml(Kernel):
             variances = 0.125 * np.ones(num_partials)
             frequencies = 1.0 + np.arange(num_partials, dtype=float)
         return cls(
-            lengthscales=Param.create(jnp.asarray(lengthscales).reshape(-1),
+            lengthscales=Param.create(np.asarray(lengthscales).reshape(-1),
                                       Logistic(0.0, 2.0)),
-            variance=Param.create(jnp.asarray(variances).reshape(-1),
+            variance=Param.create(np.asarray(variances).reshape(-1),
                                   Logistic(0.0, 1.0)),
-            frequency=Param.create(jnp.asarray(frequencies).reshape(-1), Positive()),
+            frequency=Param.create(np.asarray(frequencies).reshape(-1), Positive()),
         )
 
     @property
@@ -275,9 +275,9 @@ class MercerCosMix(Kernel):
                features_as_params=False):
         return cls(
             variance=Param.create(variance, Logistic(0.0, 0.25)),
-            energy=Param.create(jnp.asarray(energy).reshape(-1), Positive(),
+            energy=Param.create(np.asarray(energy).reshape(-1), Positive(),
                                 trainable=features_as_params),
-            frequency=Param.create(jnp.asarray(frequency).reshape(-1), Positive(),
+            frequency=Param.create(np.asarray(frequency).reshape(-1), Positive(),
                                    trainable=features_as_params),
         )
 
@@ -309,9 +309,9 @@ class Spectrum(Kernel):
     @classmethod
     def create(cls, frequency=None, energy=None, variance=1.0):
         return cls(variance=Param.create(variance, Positive()),
-                   energy=Param.create(jnp.asarray(energy).reshape(-1), Positive(),
+                   energy=Param.create(np.asarray(energy).reshape(-1), Positive(),
                                        trainable=False),
-                   frequency=Param.create(jnp.asarray(frequency).reshape(-1),
+                   frequency=Param.create(np.asarray(frequency).reshape(-1),
                                           Positive(), trainable=False))
 
     def K(self, X, X2=None):

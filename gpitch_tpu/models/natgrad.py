@@ -108,9 +108,16 @@ def natgrad_step(model, x, y, gamma: float = 0.1, num_data: int | None = None):
 
 def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
                      learning_rate: float = 0.01, num_data: int | None = None,
-                     batch_fn: Callable | None = None, key=None):
-    """Alternate natural-gradient (variational banks) and Adam (hypers) steps,
-    the whole loop in one jit.  Returns (model, losses)."""
+                     batch_fn: Callable | None = None, key=None,
+                     segment: int | None = None):
+    """Alternate natural-gradient (variational banks) and Adam (hypers) steps.
+
+    ``segment=None``: the whole loop is one jitted scan.  ``segment=k``: one
+    k-step scan is compiled once and re-invoked ceil(num_steps/k) times —
+    same reasoning as models/fit.py:fit_adam_segmented (compile cost scales
+    with the traced scan body only, and long single dispatches trip RPC
+    deadlines on relayed TPU runtimes).  Returns (model, losses).
+    """
     import optax
     from ..core.params import zero_untrainable_grads
 
@@ -126,22 +133,44 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     opt_state = optimizer.init(model)
     key = key if key is not None else jax.random.PRNGKey(0)
 
-    @jax.jit
-    def run(model, opt_state):
-        keys = jax.random.split(key, num_steps)
+    def body(carry, k):
+        m, st = carry
+        xb, yb = batch_fn(k) if batch_fn is not None else (x, y)
+        m = natgrad_step(m, xb, yb, gamma, num_data)
+        loss, grads = jax.value_and_grad(
+            lambda mm: mm.loss(xb, yb, num_data))(m)
+        grads = freeze_variational(zero_untrainable_grads(grads))
+        updates, st = optimizer.update(grads, st, m)
+        m = optax.apply_updates(m, updates)
+        return (m, st), loss
 
-        def body(carry, k):
-            m, st = carry
-            xb, yb = batch_fn(k) if batch_fn is not None else (x, y)
-            m = natgrad_step(m, xb, yb, gamma, num_data)
-            loss, grads = jax.value_and_grad(
-                lambda mm: mm.loss(xb, yb, num_data))(m)
-            grads = freeze_variational(zero_untrainable_grads(grads))
-            updates, st = optimizer.update(grads, st, m)
-            m = optax.apply_updates(m, updates)
-            return (m, st), loss
+    if segment is None:
+        @jax.jit
+        def run(model, opt_state):
+            keys = jax.random.split(key, num_steps)
+            (m, _), losses = jax.lax.scan(body, (model, opt_state), keys)
+            return m, losses
 
-        (m, _), losses = jax.lax.scan(body, (model, opt_state), keys)
-        return m, losses
+        return run(model, opt_state)
 
-    return run(model, opt_state)
+    import numpy as np
+
+    def make_run(length):
+        @jax.jit
+        def run(model, opt_state, key):
+            keys = jax.random.split(key, length)
+            (m, st), losses = jax.lax.scan(body, (model, opt_state), keys)
+            return m, st, losses
+        return run
+
+    lengths = [segment] * (num_steps // segment)
+    if num_steps % segment:
+        lengths.append(num_steps % segment)
+    run_full = make_run(segment)
+    losses_out = []
+    for length in lengths:
+        run = run_full if length == segment else make_run(length)
+        key, sub = jax.random.split(key)
+        model, opt_state, losses = run(model, opt_state, sub)
+        losses_out.append(np.asarray(losses))
+    return model, jnp.asarray(np.concatenate(losses_out))

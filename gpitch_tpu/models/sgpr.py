@@ -103,22 +103,29 @@ class SGPR:
     reg_beta: float = static_field(1000.0)
     grid_dt: Any = static_field(None)   # uniform-grid spacing or None
     num_lags: int = static_field(0)     # static lag-table length (grid mode)
+    lag_table: bool = static_field(False)  # opt-in lag-table compute path
     numerics: NumericsConfig = static_field(NumericsConfig())
 
     @classmethod
     def create(cls, X, Y, kern, Z, noise_variance=1.0, mask=None, reg=False,
                numerics=NumericsConfig(), grid_dt=None, num_lags=None,
-               center=True):
+               center=True, lag_table=False):
         """``grid_dt``: if every X and Z value is an integer multiple of
         grid_dt (windowed audio — consecutive samples + on-grid inducing
-        points), the hot covariance builds become a single stationary lag
-        table of length N+M gathered by integer lag, instead of O(N*M)
-        transcendental evaluations per pitch.  Exact, not an approximation:
-        k(|x-x'|) only takes span+1 distinct values on a uniform grid.
-        Requires ``kern.k_r``; validated here (concrete numpy) so jit never
-        sees it.  The table length covers the concrete index *span* of X∪Z, so
-        sparse/decimated on-grid inputs are handled correctly (not just
-        contiguous samples).
+        points), it is recorded and validated (a loud error if inputs are off
+        the grid), and with ``lag_table=True`` the covariance builds become a
+        single stationary lag table of length span(X∪Z) gathered by integer
+        lag.  Exact, not an approximation: k(|x-x'|) only takes span+1
+        distinct values on a uniform grid.  Requires ``kern.k_r``; validated
+        here (concrete numpy) so jit never sees it.
+
+        ``lag_table`` is **off by default**: on TPU the (M, N) integer gather
+        lowers catastrophically (round-3 measurement, docs/LAG_TABLE.md:
+        135 ms/gather vs 0.68 ms for the direct cos/sin feature-matmul build
+        of the same matrix — the gather made the whole separation bank step
+        42x slower).  The direct Mercer build rides the MXU and is the
+        TPU-native form; the table remains available for gather-friendly
+        backends and as an exactness oracle in tests.
 
         Gradient caveat: on the grid path, covariances are gathered by rounded
         integer lag, so d(bound)/dX and d(bound)/dZ are structurally zero —
@@ -160,16 +167,22 @@ class SGPR:
             if (_np.max(_np.abs(xv - _np.round(xv))) > 1e-3
                     or _np.max(_np.abs(zv - _np.round(zv))) > 1e-3):
                 raise ValueError("grid_dt: inputs are not on the grid")
-            kern.k_r(jnp.zeros(()))  # raises NotImplementedError if unsupported
             allv = _np.concatenate([xv, zv])
             span = int(_np.round(allv.max() - allv.min())) + 1
-            if num_lags is None:
-                num_lags = span
-            elif num_lags < span:
+            if num_lags is not None and num_lags < span:
                 # a too-short table would make lag gathers clamp out of
                 # bounds, silently corrupting kuf/kuu (JAX clips OOB indices)
                 raise ValueError(
                     f"num_lags={num_lags} < index span {span} of X union Z")
+            if lag_table:
+                kern.k_r(jnp.zeros(()))  # NotImplementedError if unsupported
+                if num_lags is None:
+                    num_lags = span
+            else:
+                # num_lags is static metadata; keep it 0 when the table is
+                # unused so stacked window banks stay structurally homogeneous
+                # (per-window spans differ by a few padded-inducing steps)
+                num_lags = 0
         else:
             num_lags = 0
         return cls(kern=kern, variance=Param.create(noise_variance, Positive()),
@@ -178,9 +191,10 @@ class SGPR:
                    Z=Param.create(Z, trainable=False),
                    x0=Param.create(x0_hi, trainable=False),
                    x0_lo=Param.create(x0_lo, trainable=False),
-                   mask=None if mask is None else Param.create(jnp.asarray(mask),
+                   mask=None if mask is None else Param.create(mask,
                                                                trainable=False),
                    reg=reg, grid_dt=grid_dt, num_lags=num_lags,
+                   lag_table=bool(lag_table and grid_dt is not None),
                    numerics=numerics)
 
     @property
@@ -213,7 +227,7 @@ class SGPR:
         x, y, z = self.X.value, self.Y.value, self.Z.value
         sigma2 = self.variance.value
         err = y
-        if self.grid_dt is not None:
+        if self.lag_table:
             ix, iz = self._grid_indices()
             table = self._lag_table()
             kuf = table[jnp.abs(iz[:, None] - ix[None, :])]
@@ -333,21 +347,19 @@ class SGPRSS(SGPR):
         (source_batch, N, Nnew) — at AMT's 88 pitches the unchunked batch is
         a 1.4 GB intermediate per window.
 
-        Per-source cross-covariances are built directly (cos-feature matmul on
-        the MXU) even on the grid path: X/Z are stored centered so the f32
-        build is accurate (docs/F32_ACCURACY.md), and a per-source lag-table
-        *gather* — operand batched over sources with (N, Nnew) indices —
-        lowers to a >15 GB scratch on TPU XLA, measured round 2.  Only the
-        single summed-kernel kxx below keeps the gather form (scalar table,
-        proven cheap in the training path).
+        All covariances are built directly (cos-feature matmul on the MXU)
+        unless ``lag_table=True``: X/Z are stored centered so the f32 build is
+        accurate (docs/F32_ACCURACY.md), and TPU XLA lowers integer-lag
+        gathers catastrophically — a per-source (N, Nnew) gather needed
+        >15 GB scratch (round 2), and even the single summed-kernel gather is
+        ~200x slower than the equivalent matmul build (docs/LAG_TABLE.md).
         """
         if not pre_centered:
             # stored X/Z are centered (see create); double-single subtraction
             Xnew = (Xnew - self.x0.value) - self.x0_lo.value
         x, y = self.X.value, self.Y.value
         sigma2 = self.variance.value
-        grid = self.grid_dt is not None
-        if grid:
+        if self.lag_table:
             t0 = self._grid_t0()
             ix = self._grid_index(x[:, 0], t0)
             kxx = self._lag_table()[jnp.abs(ix[:, None] - ix[None, :])]

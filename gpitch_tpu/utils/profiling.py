@@ -20,7 +20,7 @@ import numpy as np
 
 __all__ = ["trace", "Timer", "flops_specmix", "flops_cholesky",
            "flops_trisolve", "flops_gh_expectations", "flops_svgp_step",
-           "utilization_report", "MetricsLogger"]
+           "flops_sgpr_bank_step", "utilization_report", "MetricsLogger"]
 
 
 @contextlib.contextmanager
@@ -76,6 +76,13 @@ class Timer:
         iteration's output into the next call, so XLA can neither hoist the
         body out of the loop nor CSE the iterations, and all ``loop_iters``
         evaluations run back-to-back on device in ONE dispatch.
+
+        The carry is a FULL reduction of the output, not one element: keeping
+        only ``out[0]`` live lets XLA sink the slice through elementwise
+        producers and dead-code-eliminate most of the per-iteration work,
+        which biased any comparison against opaque custom calls (Pallas) that
+        always do full work (ADVICE round 2).  A sum keeps every output
+        element live.
         """
         import jax.numpy as jnp
         from jax import lax
@@ -83,7 +90,7 @@ class Timer:
         def loop(eps0):
             def body(_, carry):
                 out = make_fn(carry)
-                return jnp.real(out.ravel()[0]).astype(jnp.float32) * 1e-20
+                return jnp.real(jnp.sum(out)).astype(jnp.float32) * 1e-20
             return lax.fori_loop(0, loop_iters, body, eps0)
 
         run = jax.jit(loop)
@@ -117,6 +124,20 @@ def flops_trisolve(m: int, k: int, batch: int = 1) -> int:
 def flops_gh_expectations(n: int, s: int, h: int) -> int:
     """GH moments: evaluate nlin on (N,S,H) (~10 flops) + 2 reductions."""
     return n * s * h * 14
+
+
+def flops_sgpr_bank_step(nw: int, n: int, m: int, s: int, p: int) -> int:
+    """One loss+grad Adam step of a windowed-SGPRSS bank (models/sgpr.py
+    ``_common``+``elbo``): per window, S-source covariance builds (Kuu M x M,
+    Kuf M x N as cos/sin feature matmuls), chol_inv of Kuu and of B
+    (chol ~M^3/3 + explicit triangular inverse ~M^3), the matmul chain
+    A = Linv Kuf (2 M^2 N), AAT (2 M^2 N), Aerr (2 M N); backward ~2x the
+    forward (the custom chol_inv VJP is matmul-only)."""
+    fwd = s * (flops_specmix(m, m, p) + flops_specmix(m, n, p))
+    fwd += 2 * (flops_cholesky(m) + flops_trisolve(m, m))   # chol_inv x2
+    fwd += 2 * flops_trisolve(m, n)                          # A, AAT
+    fwd += 2 * m * n                                         # Aerr
+    return 3 * fwd * nw
 
 
 def flops_svgp_step(n_batch: int, m: int, s: int, p: int, h: int = 20) -> int:

@@ -70,8 +70,13 @@ def main():
             return jax.vmap(lambda ei, fi, vi, li: specmix_matrix(
                 x, x2, ei, fi, vi, li, interpret=not on_tpu))(e, f, v + eps, l)
 
-        # loop enough iterations that per-call time >> dispatch/iter overhead
-        loop_iters = max(10, min(400, int(2e9 / (4 * n * m * p * batch))))
+        # loop enough iterations that per-call amortized dispatch overhead is
+        # negligible: the ~27 ms relayed-TPU dispatch spread over the loop
+        # must be << the kernel time itself.  fori_loop compile cost does not
+        # grow with trip count, so small cases get many iterations (a 400-iter
+        # cap left ~67 us/call of overhead dominating sub-GFLOP cases —
+        # ADVICE round 2).
+        loop_iters = max(10, min(4000, int(2e9 / (4 * n * m * p * batch))))
         t_xla = Timer.time_fn_loop(xla_fn, loop_iters=loop_iters)
         try:
             # correctness guard before timing

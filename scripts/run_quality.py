@@ -1,7 +1,7 @@
-"""Reference-scale quality workloads -> QUALITY_r02.json + plots.
+"""Reference-scale quality workloads -> QUALITY_r03.json + plots.
 
 Round-1 VERDICT item 2: the reference's real workloads were never run.  This
-harness runs all three at reference scale on the default backend (TPU):
+harness runs them at reference scale on the default backend (TPU):
 
 1. real_audio  — the flagship single-pitch fit on the ACTUAL reference
    recording /root/reference/demos/data/011PFNOF_M60_train.wav (loaded at
@@ -15,7 +15,14 @@ harness runs all three at reference scale on the default backend (TPU):
    (separation.py:418-423).
 3. amt         — multi-pitch transcription @ 44.1 kHz, ws=2001, with a
    ground-truth pianoroll and frame P/R/F-measure
-   (transcription.py:56,170,265-298; evaluation per arXiv:1705.07104).
+   (transcription.py:56,170,265-298; evaluation per arXiv:1705.07104);
+   thresholds fixed a priori (MAD rule), never tuned on ground truth.
+4. amt88_dict  — the same piece transcribed with the FULL 88-pitch piano
+   dictionary (reference setting, transcription.py:30-33,56,170): the model
+   must also NOT detect the 80 silent pitches.
+5. hmc         — north-star optional inference mode: vectorized-chain HMC
+   over the component-kernel hypers of the real-note fit, with acceptance
+   and split-R-hat diagnostics.
 
 Usage: python scripts/run_quality.py [--quick]  (quick: shrunken sizes, CI)
 """
@@ -34,7 +41,7 @@ import numpy as np
 
 REF_WAV = "/root/reference/demos/data/011PFNOF_M60_train.wav"
 OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "QUALITY_r02.json")
+                        "QUALITY_r03.json")
 
 
 # ---------------------------------------------------------------- audio build
@@ -74,18 +81,15 @@ def load_ref_note(fs_out: float | None = None):
 
 # ----------------------------------------------------------------- workloads
 
-def run_real_audio(steps: int) -> dict:
-    """Workload 1: the reference notebook's real-audio single-pitch fit."""
+def _real_audio_setup():
     import jax.numpy as jnp
     from gpitch_tpu.audio import init_cparam, readaudio
     from gpitch_tpu.kernels import Matern32, MercerMatern12sm
-    from gpitch_tpu.models import (ModGP, fit_adam_timed, minibatch_fn,
-                                   predict_windowed)
+    from gpitch_tpu.models import ModGP
     from gpitch_tpu.pipelines import init_liv
     from gpitch_tpu.utils import midi2freq
 
     x, y, fs = readaudio(REF_WAV, frames=32000, scaled=True)
-    n = y.shape[0]
     f0 = midi2freq(60)
     freqs, energies, _, _, _ = init_cparam(y, fs=fs, maxh=5, ideal_f0=f0)
     z, _ = init_liv(x=x, y=y, win_size=31, thres=0.05, dec=9)
@@ -94,12 +98,40 @@ def run_real_audio(steps: int) -> dict:
     kcom = MercerMatern12sm.create(variance=1.0, lengthscales=0.5,
                                    energy=energies, frequency=freqs)
     model = ModGP.create(z=z, kern=[[kact], [kcom]])
-    xj, yj = jnp.asarray(x), jnp.asarray(y)
-    model, losses, compile_s, run_s = fit_adam_timed(
-        model, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
-        num_steps=steps, learning_rate=0.0025,
-        batch_fn=minibatch_fn(xj, yj, 100))
+    return model, x, y, jnp.asarray(x), jnp.asarray(y), freqs
+
+
+def run_real_audio(steps: int) -> dict:
+    """Workload 1: the reference notebook's real-audio single-pitch fit.
+
+    Runs the same workload under BOTH training configurations the north star
+    names: plain Adam and natural-gradient (variational banks) + Adam
+    (hypers), recording both ELBO trajectories.  Adam runs via the segmented
+    scan (models/fit.py:fit_adam_segmented): the 10k-step single-scan jit of
+    round 2 spent 194 s compiling vs 1.3 s running (round-2 VERDICT weak #2).
+    """
+    from gpitch_tpu.models import (fit_adam_segmented, minibatch_fn,
+                                   predict_windowed)
+    from gpitch_tpu.models.natgrad import fit_natgrad_adam
+
+    model0, x, y, xj, yj, freqs = _real_audio_setup()
+    n = y.shape[0]
+    batch_fn = minibatch_fn(xj, yj, 100)
+
+    model, losses, compile_s, run_s = fit_adam_segmented(
+        model0, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
+        num_steps=steps, learning_rate=0.0025, batch_fn=batch_fn,
+        segment=max(1, min(500, steps // 2)))
     losses = np.asarray(losses)
+
+    # natural-gradient + Adam on the identical init (north star config)
+    t0 = time.perf_counter()
+    _, ng_losses = fit_natgrad_adam(
+        model0, xj, yj, num_steps=steps, gamma=0.05, learning_rate=0.0025,
+        num_data=n, batch_fn=batch_fn, segment=min(500, steps))
+    ng_losses = np.asarray(ng_losses)
+    float(ng_losses[-1])
+    ng_wall = time.perf_counter() - t0
 
     results = predict_windowed(model, xj, ws=1600)
     m_src = np.asarray(results[4])
@@ -113,7 +145,14 @@ def run_real_audio(steps: int) -> dict:
         "elbo_final": float(-losses[-1]),
         "reconstruction_rmse": rmse,
         "compile_s": round(compile_s, 2), "run_s": round(run_s, 2),
-        "steps_per_s": round(steps / run_s, 1),
+        "steps_per_s": round(steps / max(run_s, 1e-9), 1),
+        "natgrad_adam": {
+            "gamma": 0.05, "elbo_start": float(-ng_losses[0]),
+            "elbo_at_adam_half": float(-ng_losses[min(steps // 2,
+                                                      len(ng_losses) - 1)]),
+            "elbo_final": float(-ng_losses[-1]),
+            "wall_s": round(ng_wall, 2),
+            "steps_per_s": round(steps / ng_wall, 1)},
         "partials_hz": np.round(freqs, 1).tolist(),
     }
 
@@ -183,9 +222,9 @@ def run_separation(maxiter: int, seconds: float = 14.0) -> dict:
         "rmse": float(rmse),
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
         "predict_s": round(predict_s_time, 2), "build_s": round(build_s, 2),
-        "audio_seconds_per_s_optimize": round(audio_s / run_s, 3),
+        "audio_seconds_per_s_optimize": round(audio_s / max(run_s, 1e-9), 3),
         "audio_seconds_per_s_total": round(
-            audio_s / (run_s + predict_s_time), 3),
+            audio_s / max(run_s + predict_s_time, 1e-9), 3),
     }
 
 
@@ -209,11 +248,8 @@ def _plot_separation(x, mix, sources, model):
     plt.close(fig)
 
 
-def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0) -> dict:
-    """Workload 3: transcription @ 44.1 kHz with ground-truth pianoroll."""
-    from gpitch_tpu.audio.pianoroll import Pianoroll
-    from gpitch_tpu.pipelines import AMT
-
+def _amt_piece(seconds: float, fs: float):
+    """The synthetic 'piece': 8 sounding pitches, events at known times."""
     note_c, _ = load_ref_note(fs_out=fs)
     pitches = [60, 62, 64, 65, 67, 69, 71, 72]  # C major scale
     rng = np.random.default_rng(3)
@@ -234,38 +270,72 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0) -> dict:
                              seconds, fs) for p in pitches}
     mix = sum(tracks.values())
     x = (np.arange(len(mix)) / fs).reshape(-1, 1)
+    return note_c, pitches, notes, events, mix, x
 
+
+def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
+            dictionary: str = "sounding") -> dict:
+    """Workload 3: transcription @ 44.1 kHz with ground-truth pianoroll.
+
+    ``dictionary="sounding"``: the model carries exactly the 8 sounding
+    pitches.  ``dictionary="piano88"``: the model carries the FULL 88-pitch
+    piano dictionary (the reference AMT setting, transcription.py:30-33, 56,
+    170) of which the 8 sounding pitches are a subset — the evaluation then
+    also scores the 80 silent rows, so min-max-rescale thresholding would
+    fabricate detections (round-2 VERDICT weak #4).
+
+    Thresholds are fixed A PRIORI — mad (k=4) and minmax (0.1) — never chosen
+    against ground truth.  The headline metric is the MAD rule.
+    """
+    from gpitch_tpu.audio.pianoroll import Pianoroll
+    from gpitch_tpu.pipelines import AMT
+
+    note_c, pitches, notes, events, mix, x = _amt_piece(seconds, fs)
     roll = Pianoroll(fs=20, duration=seconds, notes=events)
 
-    t0 = time.perf_counter()
-    model = AMT(train_signals=[notes[p][: int(2 * fs)] for p in pitches],
-                train_names=[f"piano_M{p}_train.wav" for p in pitches],
-                fs=fs, test=(x, mix), pitches=pitches, window_size=2001,
-                kernel_mode="fft", max_par=10, num_inducing=160, dec=3,
-                pianoroll=roll)
-    build_s = time.perf_counter() - t0
-    losses, (compile_s, run_s) = model.optimize(maxiter=maxiter,
-                                                learning_rate=0.01, timed=True)
-    best = None
-    for thr in (0.05, 0.1, 0.15, 0.2, 0.3):
-        p_, r_, f_ = model.evaluate(threshold=thr)
-        if best is None or f_ > best[3]:
-            best = (thr, p_, r_, f_)
+    if dictionary == "piano88":
+        model_pitches = list(range(21, 109))
+        train = {p: (notes[p] if p in notes
+                     else pitch_shift(note_c, p - 60.0))
+                 for p in model_pitches}
+    else:
+        model_pitches = pitches
+        train = notes
 
-    _plot_amt(model, roll, pitches, seconds)
+    t0 = time.perf_counter()
+    model = AMT(train_signals=[train[p][: int(2 * fs)] for p in model_pitches],
+                train_names=[f"piano_M{p}_train.wav" for p in model_pitches],
+                fs=fs, test=(x, mix), pitches=model_pitches, window_size=2001,
+                kernel_mode="fft",
+                max_par=10 if dictionary == "sounding" else 8,
+                num_inducing=160, dec=3, pianoroll=roll)
+    build_s = time.perf_counter() - t0
+    losses, (compile_s, run_s) = model.optimize(
+        maxiter=maxiter, learning_rate=0.01, timed=True,
+        window_chunk=16 if dictionary == "piano88" else None)
+    p_mad, r_mad, f_mad = model.evaluate(mode="mad", k=4.0)
+    p_mm, r_mm, f_mm = model.evaluate(threshold=0.1)
+
+    if dictionary == "sounding":
+        _plot_amt(model, roll, pitches, seconds)
     audio_s = len(mix) / fs
     return {
-        "workload": f"{seconds:.0f} s {len(pitches)}-pitch piece @ 44.1 kHz, "
-                    f"ws=2001, {model.nwin} windows (pitch-shifted real MAPS "
-                    "note; exact ground-truth pianoroll)",
-        "num_windows": int(model.nwin), "num_pitches": len(pitches),
+        "workload": f"{seconds:.0f} s piece, 8 sounding pitches @ 44.1 kHz, "
+                    f"ws=2001, {model.nwin} windows, "
+                    f"{len(model_pitches)}-pitch dictionary (pitch-shifted "
+                    "real MAPS note; exact ground-truth pianoroll)",
+        "num_windows": int(model.nwin), "num_pitches": len(model_pitches),
         "maxiter": maxiter,
         "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
-        "threshold": best[0], "precision": round(best[1], 4),
-        "recall": round(best[2], 4), "f_measure": round(best[3], 4),
+        "threshold_rule": "mad k=4 (a priori; minmax 0.1 secondary)",
+        "precision": round(p_mad, 4), "recall": round(r_mad, 4),
+        "f_measure": round(f_mad, 4),
+        "minmax_thr0.1": {"precision": round(p_mm, 4),
+                          "recall": round(r_mm, 4),
+                          "f_measure": round(f_mm, 4)},
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
         "build_s": round(build_s, 2),
-        "audio_seconds_per_s_optimize": round(audio_s / run_s, 3),
+        "audio_seconds_per_s_optimize": round(audio_s / max(run_s, 1e-9), 3),
     }
 
 
@@ -297,11 +367,91 @@ def _plot_amt(model, roll, pitches, seconds):
     plt.close(fig)
 
 
+def _split_rhat(x) -> float:
+    """Split-chain R-hat (Gelman et al.) of (chains, samples) draws."""
+    x = np.asarray(x, dtype=float)
+    c, s = x.shape
+    half = s // 2
+    xs = x[:, : 2 * half].reshape(c * 2, half)
+    w = xs.var(axis=1, ddof=1).mean()
+    b = half * xs.mean(axis=1).var(ddof=1)
+    var = (half - 1) / half * w + b / half
+    return float(np.sqrt(var / max(w, 1e-30)))
+
+
+def run_hmc(num_samples: int = 200, num_warmup: int = 100,
+            num_chains: int = 4) -> dict:
+    """Workload 4 (north star): HMC over the component-kernel hyperparameters
+    of the real-note ModGP fit — per-chain vectorized leapfrog, full-data
+    ELBO as the (unnormalized) log density, variational banks held at the
+    Adam-fitted posterior (models/hmc.py)."""
+    import jax
+    import jax.numpy as jnp
+    from gpitch_tpu.core.params import Param
+    from gpitch_tpu.models import (fit_adam_segmented, hmc_sample,
+                                   minibatch_fn)
+
+    model0, x, y, xj, yj, freqs = _real_audio_setup()
+    n = y.shape[0]
+    model, _, _, _ = fit_adam_segmented(
+        model0, lambda m, xb, yb: m.loss(xb, yb, num_data=n),
+        num_steps=2000, learning_rate=0.0025,
+        batch_fn=minibatch_fn(xj, yj, 100), segment=500)
+
+    kc = model.kern_com
+
+    def substitute(leaves):
+        kc2 = kc.replace(
+            lengthscales=Param(leaves["ls_raw"], kc.lengthscales.transform,
+                               kc.lengthscales.trainable),
+            variance=Param(leaves["var_raw"], kc.variance.transform,
+                           kc.variance.trainable))
+        return model.replace(kern_com=kc2)
+
+    def logprob(leaves):
+        prior = -0.5 * sum(jnp.sum(jnp.square(l / 10.0))
+                           for l in jax.tree_util.tree_leaves(leaves))
+        return substitute(leaves).elbo(xj, yj, n) + prior
+
+    init = {"ls_raw": jnp.asarray(kc.lengthscales.raw),
+            "var_raw": jnp.asarray(kc.variance.raw)}
+    t0 = time.perf_counter()
+    samples, rates = hmc_sample(logprob, init, jax.random.PRNGKey(2),
+                                num_samples=num_samples,
+                                num_warmup=num_warmup, num_leapfrog=8,
+                                num_chains=num_chains, jitter_init=0.05)
+    rates = np.asarray(jax.device_get(rates))
+    wall = time.perf_counter() - t0
+
+    ls = np.asarray(kc.lengthscales.transform.forward(
+        np.asarray(samples["ls_raw"], dtype=np.float64)))
+    var = np.asarray(kc.variance.transform.forward(
+        np.asarray(samples["var_raw"], dtype=np.float64)))
+    ls2 = ls.reshape(num_chains, num_samples, -1)
+    var2 = var.reshape(num_chains, num_samples, -1)
+    return {
+        "workload": "HMC over component-kernel hypers (lengthscale, variance) "
+                    "of the real-note ModGP fit; full-data ELBO target, "
+                    f"{num_chains} vectorized chains",
+        "num_chains": num_chains, "num_warmup": num_warmup,
+        "num_samples": num_samples, "num_leapfrog": 8,
+        "accept_rate": [round(float(r), 3) for r in rates],
+        "rhat_lengthscale": round(_split_rhat(ls2[..., 0]), 4),
+        "rhat_variance": round(_split_rhat(var2[..., 0]), 4),
+        "lengthscale_mean": float(ls2.mean()),
+        "lengthscale_sd": float(ls2.reshape(-1).std()),
+        "variance_mean": float(var2.mean()),
+        "variance_sd": float(var2.reshape(-1).std()),
+        "wall_s": round(wall, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="shrunken sizes (smoke test)")
-    ap.add_argument("--only", choices=["real_audio", "separation", "amt"],
+    ap.add_argument("--only", choices=["real_audio", "separation", "amt",
+                                       "amt88_dict", "hmc"],
                     default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness debugging)")
@@ -311,9 +461,12 @@ def main():
     if args.cpu:
         # config update beats the env var (axon sitecustomize force-registers)
         jax.config.update("jax_platforms", "cpu")
-    report = {"backend": jax.default_backend(),
-              "device": jax.devices()[0].device_kind,
-              "x64": bool(jax.config.jax_enable_x64)}
+    # provenance is stored PER JOB (ADVICE round 2: a later --cpu/--only run
+    # must not relabel stale sections from a different backend)
+    provenance = {"backend": jax.default_backend(),
+                  "device": jax.devices()[0].device_kind,
+                  "x64": bool(jax.config.jax_enable_x64)}
+    report = {}
 
     jobs = {
         "real_audio": lambda: run_real_audio(steps=500 if args.quick else 10000),
@@ -322,6 +475,12 @@ def main():
             seconds=2.0 if args.quick else 14.0),
         "amt": lambda: run_amt(maxiter=40 if args.quick else 500,
                                seconds=2.0 if args.quick else 10.0),
+        "amt88_dict": lambda: run_amt(maxiter=40 if args.quick else 500,
+                                      seconds=2.0 if args.quick else 10.0,
+                                      dictionary="piano88"),
+        "hmc": lambda: run_hmc(num_samples=20 if args.quick else 200,
+                               num_warmup=10 if args.quick else 100,
+                               num_chains=2 if args.quick else 4),
     }
     for name, job in jobs.items():
         if args.only and name != args.only:
@@ -329,17 +488,21 @@ def main():
         t0 = time.perf_counter()
         report[name] = job()
         report[name]["wall_s"] = round(time.perf_counter() - t0, 1)
+        report[name].update(provenance)
         print(json.dumps({name: report[name]}, indent=1))
         if not args.quick:
-            # merge incrementally so partial/`--only` runs update the record
+            # merge incrementally so partial/`--only` runs update the record;
+            # provenance lives inside each job section, so sections from
+            # different backends coexist honestly
             merged = {}
             if os.path.exists(OUT_JSON):
                 with open(OUT_JSON) as fh:
                     merged = json.load(fh)
+            merged = {k: v for k, v in merged.items() if isinstance(v, dict)}
             merged.update(report)
             with open(OUT_JSON, "w") as fh:
                 json.dump(merged, fh, indent=1)
-        print(f"wrote {OUT_JSON}")
+            print(f"wrote {OUT_JSON}")
 
 
 if __name__ == "__main__":

@@ -94,7 +94,7 @@ def test_separation_end_to_end():
 def test_separation_uniform_shift_stays_on_grid():
     """A globally shifted time vector is on-grid after centering (SGPR.create
     stores X - x0): the kernel is stationary, only differences matter, so the
-    fast lag-table path must still engage — no fallback, no warning."""
+    on-grid validation must still pass — no fallback, no warning."""
     import warnings
 
     train, names, (x, mix), _ = _separation_fixture()
@@ -104,7 +104,7 @@ def test_separation_uniform_shift_stays_on_grid():
         model = SoSp(train_signals=train, train_names=names, fs=FS,
                      mixture=(x_off, mix), window_size=501, kernel_mode="fft",
                      max_par=2, num_inducing=24, dec=8)
-    assert model.bank.grid_dt is not None  # lag-table path in use
+    assert model.bank.grid_dt is not None  # on-grid validated
 
 
 def test_separation_offgrid_fallback_warns_and_works():
@@ -118,7 +118,7 @@ def test_separation_offgrid_fallback_warns_and_works():
         model = SoSp(train_signals=train, train_names=names, fs=FS,
                      mixture=(x_off, mix), window_size=501, kernel_mode="fft",
                      max_par=2, num_inducing=24, dec=8)
-    assert model.bank.grid_dt is None  # direct path in use
+    assert model.bank.grid_dt is None  # off-grid: no grid metadata
     losses = model.optimize(maxiter=20, learning_rate=0.02)
     assert float(losses[-1]) < float(losses[0])
 

@@ -221,7 +221,8 @@ def test_sgpr_grid_path_exact():
             for i in range(s)])
 
     direct = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1)
-    grid = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+    grid = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1, grid_dt=1.0 / fs,
+                       lag_table=True)
 
     np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
                                rtol=1e-10)
@@ -289,7 +290,7 @@ def test_grid_and_direct_agree_in_f32():
 
     direct = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1)
     grid = SGPRSS.create(x, y, kern(), Z=z, noise_variance=0.1,
-                         grid_dt=1.0 / fs)
+                         grid_dt=1.0 / fs, lag_table=True)
     truth = float(direct.elbo())  # f64 (x64 on in tests)
     e_direct32 = float(to_f32(direct).elbo())
     e_grid32 = float(to_f32(grid).elbo())
@@ -313,7 +314,8 @@ def test_grid_path_survives_late_windows_at_44k():
     y = 0.3 * rng.standard_normal((ws, 1))
     z = x[::8][:24]
     kern = Matern12sm.create(1.0, 0.05, [1.0], [440.0])
-    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs,
+                         lag_table=True)
     direct = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1)
     np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
                                rtol=1e-10)
@@ -323,7 +325,8 @@ def test_grid_path_survives_late_windows_at_44k():
     assert abs(x0 - start / fs) < 1e-12
     # and a phase-shifted grid still centers onto itself (x0 = min input)
     shifted = SGPRSS.create(x + 0.37 / fs, y, kern, Z=z + 0.37 / fs,
-                            noise_variance=0.1, grid_dt=1.0 / fs)
+                            noise_variance=0.1, grid_dt=1.0 / fs,
+                            lag_table=True)
     np.testing.assert_allclose(float(shifted.elbo()), float(grid.elbo()),
                                rtol=1e-9)
 
@@ -342,7 +345,8 @@ def test_sgpr_grid_path_sparse_on_grid_inputs():
     z = x[::4]
     kern = Matern12sm.create(1.0, 0.05, [1.0, 0.4], [220.0, 440.0])
     direct = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1)
-    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs)
+    grid = SGPRSS.create(x, y, kern, Z=z, noise_variance=0.1, grid_dt=1.0 / fs,
+                         lag_table=True)
     np.testing.assert_allclose(float(grid.elbo()), float(direct.elbo()),
                                rtol=1e-10)
     # explicit num_lags shorter than the span is rejected loudly
@@ -371,6 +375,85 @@ def test_window_bank_grid_matches_direct():
                            for i in range(3)])
 
     b_direct = build_window_bank(xw, yw, z, builder)
-    b_grid = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    b_grid = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs,
+                               lag_table=True)
     np.testing.assert_allclose(float(bank_loss(b_grid)),
                                float(bank_loss(b_direct)), rtol=1e-10)
+
+
+def test_fast_bank_build_matches_loop():
+    """Vectorized build_window_bank must be leaf-identical to the per-window
+    SGPRSS.create loop it replaced (round-2 VERDICT weak #3), including masks,
+    y_scale, per-window centering offsets, and the lag-table variant."""
+    from gpitch_tpu.kernels import Matern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (_build_window_bank_loop,
+                                                    bank_loss,
+                                                    build_window_bank,
+                                                    pad_inducing, sum_kernel)
+
+    fs = 16000.0
+    ws, nw = 96, 4
+    rng = np.random.default_rng(7)
+    start = int(13.0 * fs)  # deep window: exercises the double-single x0
+    xw = np.stack([(start + np.arange(ws) + i * ws // 2) / fs
+                   for i in range(nw)]).reshape(nw, ws, 1)
+    yw = rng.standard_normal((nw, ws, 1)) * 0.2
+    masks = (rng.uniform(size=(nw, ws)) > 0.2).astype(float)
+    masks[:, :4] = 1.0  # keep some valid points everywhere
+    z_list = [xw[i, ::7, 0].reshape(-1, 1)[:10 + i] for i in range(nw)]
+    z = pad_inducing(z_list, 14, grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([Matern12sm.create(1.0, 0.05, [1.0], [220.0 * (i + 1)])
+                           for i in range(3)])
+
+    for kw in ({}, {"grid_dt": 1.0 / fs}, {"grid_dt": 1.0 / fs, "lag_table": True}):
+        fast = build_window_bank(xw, yw, z, builder, masks=masks, reg=True,
+                                 y_scale=20.0, **kw)
+        loop = _build_window_bank_loop(xw, yw, z, builder, masks=masks,
+                                       reg=True, y_scale=20.0, **kw)
+        fl = jax.tree_util.tree_leaves(fast)
+        ll = jax.tree_util.tree_leaves(loop)
+        assert (jax.tree_util.tree_structure(fast)
+                == jax.tree_util.tree_structure(loop)), kw
+        for a, b in zip(fl, ll):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12, err_msg=str(kw))
+        np.testing.assert_allclose(float(bank_loss(fast)),
+                                   float(bank_loss(loop)), rtol=1e-10)
+
+
+def test_optimize_bank_window_chunk_exact():
+    """window_chunk optimization (one executable per chunk) must produce the
+    same optimized bank and per-step total losses as the unchunked run —
+    windows are independent and Adam state is per-window, so chunking is
+    exact, including a ragged final chunk."""
+    from gpitch_tpu.kernels import Matern12sm
+    from gpitch_tpu.pipelines.windowed_sgpr import (build_window_bank,
+                                                    optimize_bank,
+                                                    pad_inducing, sum_kernel)
+
+    fs = 16000.0
+    ws, nw = 64, 5
+    rng = np.random.default_rng(6)
+    xw = np.stack([(np.arange(ws) + i * ws // 2) / fs
+                   for i in range(nw)]).reshape(nw, ws, 1)
+    yw = rng.standard_normal((nw, ws, 1)) * 0.2
+    z = pad_inducing([xw[i, ::6, 0].reshape(-1, 1) for i in range(nw)], 11,
+                     grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([Matern12sm.create(1.0, 0.05, [1.0], [220.0 * (i + 1)])
+                           for i in range(2)])
+
+    b1, l1 = optimize_bank(build_window_bank(xw, yw, z, builder),
+                           num_steps=12, learning_rate=0.02, segment=5)
+    b2, l2 = optimize_bank(build_window_bank(xw, yw, z, builder),
+                           num_steps=12, learning_rate=0.02, segment=5,
+                           window_chunk=2)  # 3 chunks, last one ragged
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-8, atol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(b1),
+                    jax.tree_util.tree_leaves(b2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-10)
