@@ -54,11 +54,11 @@ class Kernel:
     """Mixin providing combination operators; concrete kernels add K/Kdiag.
 
     Stationary kernels additionally implement ``k_r(r)`` — the kernel value as
-    a function of distance alone.  That one method unlocks the uniform-grid
-    fast path (models/sgpr.py): on windowed audio every input lies on the
-    sample grid, so K is a gather from a length-O(N) lag table instead of an
-    (N, M) field of transcendentals — the difference between ~10^7 and ~10^3
-    exp/cos evaluations per covariance build at AMT scale.
+    a function of distance alone.  It powers the opt-in uniform-grid lag-table
+    path (models/sgpr.py, ``lag_table=True``) and the grid==direct exactness
+    tests; the default compute path is the direct cos/sin feature-matmul
+    build, which the TPU MXU evaluates ~200x faster than XLA lowers the
+    equivalent integer-lag gather (docs/LAG_TABLE.md).
     """
 
     def K(self, X, X2=None):

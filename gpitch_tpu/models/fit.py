@@ -259,3 +259,46 @@ def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int 
         return m, losses
 
     return run(model)
+
+
+def fit_modgp(model, x, y, num_steps: int = 2000, method: str = "adam",
+              learning_rate: float = 0.005, minibatch_size: int | None = 100,
+              num_data: int | None = None, key=None, segment: int | None = 500,
+              **kw):
+    """One entry point for every ModGP training configuration — the
+    counterpart of gpflow ``Model.optimize`` (demos/scripts/demo-modgp.py:44-45,
+    reference optimizer surface).  Returns (model, losses).
+
+    method:
+      * "adam"          — segmented minibatch Adam (fit_adam_segmented);
+      * "natgrad_adam"  — the north-star configuration: natural-gradient steps
+                          on the variational banks alternating with Adam on
+                          hyperparameters (models/natgrad.py);
+      * "lbfgs"         — full-batch on-device L-BFGS (fit_lbfgs).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = num_data if num_data is not None else x.shape[0]
+    batch_fn = (minibatch_fn(x, y, minibatch_size)
+                if minibatch_size else None)
+
+    if method == "adam":
+        model, losses, _, _ = fit_adam_segmented(
+            model, lambda m, *b: m.loss(*(b if b else (x, y)), num_data=n),
+            num_steps=num_steps, learning_rate=learning_rate,
+            batch_fn=batch_fn, key=key,
+            segment=max(1, min(segment or num_steps, num_steps)), **kw)
+        return model, losses
+    if method == "natgrad_adam":
+        from .natgrad import fit_natgrad_adam
+        return fit_natgrad_adam(
+            model, x, y, num_steps=num_steps,
+            learning_rate=learning_rate, num_data=n, batch_fn=batch_fn,
+            key=key, segment=max(1, min(segment or num_steps, num_steps)),
+            **kw)
+    if method == "lbfgs":
+        return fit_lbfgs(model, lambda m: m.loss(x, y, num_data=n),
+                         num_steps=num_steps, **kw)
+    raise ValueError(f"unknown method {method!r}")

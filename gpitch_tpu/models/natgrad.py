@@ -109,7 +109,7 @@ def natgrad_step(model, x, y, gamma: float = 0.1, num_data: int | None = None):
 def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
                      learning_rate: float = 0.01, num_data: int | None = None,
                      batch_fn: Callable | None = None, key=None,
-                     segment: int | None = None):
+                     segment: int | None = None, gamma_warmup: int = 100):
     """Alternate natural-gradient (variational banks) and Adam (hypers) steps.
 
     ``segment=None``: the whole loop is one jitted scan.  ``segment=k``: one
@@ -117,6 +117,16 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     same reasoning as models/fit.py:fit_adam_segmented (compile cost scales
     with the traced scan body only, and long single dispatches trip RPC
     deadlines on relayed TPU runtimes).  Returns (model, losses).
+
+    Stability (long minibatch runs): gamma ramps linearly from gamma/50 to
+    gamma over ``gamma_warmup`` steps — a full-size natural step from a cold
+    q(u) under minibatch noise can push S outside the PSD cone.  Any step
+    producing a non-finite model is skipped (the carry keeps the previous
+    state) AND halves an adaptive gamma scale, which recovers by 5%% per
+    finite step; near convergence S is ill-conditioned in f32 and the
+    full-size natural step intermittently overshoots, so the backoff keeps
+    the run productive instead of frozen.  Recorded losses substitute the
+    last finite value on skipped steps.
     """
     import optax
     from ..core.params import zero_untrainable_grads
@@ -134,33 +144,53 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def body(carry, k):
-        m, st = carry
+        m, st, step_i, gscale, prev_loss = carry
         xb, yb = batch_fn(k) if batch_fn is not None else (x, y)
-        m = natgrad_step(m, xb, yb, gamma, num_data)
+        ramp = jnp.minimum(1.0, (step_i + 1.0) / max(gamma_warmup, 1))
+        # 1/sqrt decay after ~20x warmup: a fixed-size natural step under
+        # minibatch noise oscillates around the optimum once converged
+        decay = jax.lax.rsqrt(1.0 + step_i / (20.0 * max(gamma_warmup, 1)))
+        gamma_t = gamma * (0.02 + 0.98 * ramp) * gscale * decay
+        m2 = natgrad_step(m, xb, yb, gamma_t, num_data)
         loss, grads = jax.value_and_grad(
-            lambda mm: mm.loss(xb, yb, num_data))(m)
+            lambda mm: mm.loss(xb, yb, num_data))(m2)
         grads = freeze_variational(zero_untrainable_grads(grads))
-        updates, st = optimizer.update(grads, st, m)
-        m = optax.apply_updates(m, updates)
-        return (m, st), loss
+        updates, st2 = optimizer.update(grads, st, m2)
+        m2 = optax.apply_updates(m2, updates)
+        finite = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(m2):
+            finite = finite & jnp.all(jnp.isfinite(leaf))
+
+        def pick(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+
+        gscale = jnp.where(finite, jnp.minimum(gscale * 1.05, 1.0),
+                           jnp.maximum(gscale * 0.5, 1e-3))
+        loss_rec = jnp.where(finite, loss, prev_loss)
+        return (pick(m2, m), pick(st2, st), step_i + 1.0, gscale,
+                loss_rec), loss_rec
+
+    carry0 = (model, opt_state, jnp.asarray(0.0), jnp.asarray(1.0),
+              jnp.asarray(jnp.inf))
 
     if segment is None:
         @jax.jit
-        def run(model, opt_state):
+        def run(carry):
             keys = jax.random.split(key, num_steps)
-            (m, _), losses = jax.lax.scan(body, (model, opt_state), keys)
+            (m, *_), losses = jax.lax.scan(body, carry, keys)
             return m, losses
 
-        return run(model, opt_state)
+        return run(carry0)
 
     import numpy as np
 
     def make_run(length):
         @jax.jit
-        def run(model, opt_state, key):
+        def run(carry, key):
             keys = jax.random.split(key, length)
-            (m, st), losses = jax.lax.scan(body, (model, opt_state), keys)
-            return m, st, losses
+            carry, losses = jax.lax.scan(body, carry, keys)
+            return carry, losses
         return run
 
     lengths = [segment] * (num_steps // segment)
@@ -168,9 +198,10 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
         lengths.append(num_steps % segment)
     run_full = make_run(segment)
     losses_out = []
+    carry = carry0
     for length in lengths:
         run = run_full if length == segment else make_run(length)
         key, sub = jax.random.split(key)
-        model, opt_state, losses = run(model, opt_state, sub)
+        carry, losses = run(carry, sub)
         losses_out.append(np.asarray(losses))
-    return model, jnp.asarray(np.concatenate(losses_out))
+    return carry[0], jnp.asarray(np.concatenate(losses_out))

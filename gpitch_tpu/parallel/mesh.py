@@ -56,10 +56,21 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "w",
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
-def shard_leading_axis(tree: Any, mesh: Mesh, axis_name: str = "w") -> Any:
+def _axis_size(mesh: Mesh, axis_name) -> int:
+    if isinstance(axis_name, (tuple, list)):
+        size = 1
+        for a in axis_name:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axis_name]
+
+
+def shard_leading_axis(tree: Any, mesh: Mesh, axis_name="w") -> Any:
     """Place every array leaf with its leading axis sharded over ``axis_name``
-    (leaves whose leading dim is not divisible are replicated)."""
-    size = mesh.shape[axis_name]
+    (leaves whose leading dim is not divisible are replicated).  ``axis_name``
+    may be a tuple of mesh axes — e.g. ("h", "c") shards the window axis over
+    the full hosts x chips grid."""
+    size = _axis_size(mesh, axis_name)
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % size == 0:
@@ -109,8 +120,12 @@ def shard_bank(bank, mesh: Mesh | None = None, axis_name: str = "w"):
     return shard_leading_axis(bank, mesh, axis_name), nw, mesh
 
 
-def make_bank_loss_shard_map(mesh: Mesh, axis_name: str = "w"):
+def make_bank_loss_shard_map(mesh: Mesh, axis_name="w"):
     """Explicit-collective variant of ``pipelines.bank_loss``.
+
+    ``axis_name`` may be a tuple of mesh axes — ("h", "c") expresses the
+    hosts x chips plan: windows shard over the full grid and the scalar psum
+    reduces over both axes (ICI within a host, DCN across hosts).
 
     Where the NamedSharding path leaves collective placement to XLA's SPMD
     partitioner, this pins the communication pattern by hand with

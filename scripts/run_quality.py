@@ -126,12 +126,19 @@ def run_real_audio(steps: int) -> dict:
 
     # natural-gradient + Adam on the identical init (north star config)
     t0 = time.perf_counter()
-    _, ng_losses = fit_natgrad_adam(
+    ng_model, ng_losses = fit_natgrad_adam(
         model0, xj, yj, num_steps=steps, gamma=0.05, learning_rate=0.0025,
         num_data=n, batch_fn=batch_fn, segment=min(500, steps))
     ng_losses = np.asarray(ng_losses)
     float(ng_losses[-1])
     ng_wall = time.perf_counter() - t0
+
+    # the minibatch ELBO estimates above are noisy (scale n/100); the honest
+    # comparison is the FULL-data ELBO of each final model
+    import jax
+    full_elbo = jax.jit(lambda m: m.elbo(xj, yj, n))
+    elbo_full_adam = float(full_elbo(model))
+    elbo_full_ng = float(full_elbo(ng_model))
 
     results = predict_windowed(model, xj, ws=1600)
     m_src = np.asarray(results[4])
@@ -143,6 +150,7 @@ def run_real_audio(steps: int) -> dict:
                     "the reference at runtime)",
         "steps": steps, "elbo_start": float(-losses[0]),
         "elbo_final": float(-losses[-1]),
+        "elbo_full_data": elbo_full_adam,
         "reconstruction_rmse": rmse,
         "compile_s": round(compile_s, 2), "run_s": round(run_s, 2),
         "steps_per_s": round(steps / max(run_s, 1e-9), 1),
@@ -150,7 +158,9 @@ def run_real_audio(steps: int) -> dict:
             "gamma": 0.05, "elbo_start": float(-ng_losses[0]),
             "elbo_at_adam_half": float(-ng_losses[min(steps // 2,
                                                       len(ng_losses) - 1)]),
+            "elbo_best": float(-np.min(ng_losses)),
             "elbo_final": float(-ng_losses[-1]),
+            "elbo_full_data": elbo_full_ng,
             "wall_s": round(ng_wall, 2),
             "steps_per_s": round(steps / ng_wall, 1)},
         "partials_hz": np.round(freqs, 1).tolist(),
@@ -473,7 +483,7 @@ def main():
         "separation": lambda: run_separation(
             maxiter=40 if args.quick else 500,
             seconds=2.0 if args.quick else 14.0),
-        "amt": lambda: run_amt(maxiter=40 if args.quick else 500,
+        "amt": lambda: run_amt(maxiter=40 if args.quick else 1500,
                                seconds=2.0 if args.quick else 10.0),
         "amt88_dict": lambda: run_amt(maxiter=40 if args.quick else 500,
                                       seconds=2.0 if args.quick else 10.0,

@@ -181,3 +181,30 @@ def test_amt88_bank_builds_and_steps():
     assert smean.shape == (88, nw, ws)
     assert np.isfinite(np.asarray(smean)).all()
     assert (np.asarray(svar) > -1e-8).all()
+
+
+def test_mad_pianoroll_silent_rows_stay_silent():
+    """The a-priori MAD rule must not fabricate detections on silent pitch
+    rows (round-2 VERDICT weak #4: per-row min-max rescale guaranteed every
+    row crossed its own threshold somewhere)."""
+    from gpitch_tpu.pipelines.transcription import (mad_pianoroll,
+                                                    pianoroll_from_variances)
+
+    rng = np.random.default_rng(0)
+    nw = 200
+    # sounding pitch: clear bumps over a noisy floor
+    sounding = 0.01 + 0.002 * rng.standard_normal(nw)
+    sounding[40:60] += 0.5
+    sounding[120:150] += 0.8
+    # silent pitches: pure floor noise at various scales
+    silent_a = 0.02 + 0.003 * rng.standard_normal(nw)
+    silent_b = 1e-4 + 1e-5 * rng.standard_normal(nw)
+    mv = np.stack([sounding, silent_a, silent_b])
+
+    est = mad_pianoroll(mv, k=4.0)
+    assert est[0, 45:55].all() and est[0, 125:145].all()
+    assert est[0].sum() <= 60  # only the bumps
+    assert est[1].sum() == 0 and est[2].sum() == 0
+    # the min-max rescale DOES fabricate detections on the silent rows
+    legacy = pianoroll_from_variances(mv, threshold=0.5, per_pitch=True)
+    assert legacy[1].sum() > 0

@@ -233,3 +233,19 @@ def test_fit_adam_segmented_matches_fit_adam():
     # donation must not have consumed the caller's arrays
     assert np.isfinite(float(loss_fn(model)))
     assert compile_s >= 0.0 and run_s > 0.0
+
+
+def test_fit_modgp_dispatcher():
+    """fit_modgp: one entry point for adam / natgrad_adam / lbfgs (the
+    reference's Model.optimize surface, demos/scripts/demo-modgp.py:44-45)."""
+    from gpitch_tpu.models import fit_modgp
+    x, y, _, _ = synth_data(120)
+    for method, kw in (("adam", dict(minibatch_size=32, segment=5)),
+                       ("natgrad_adam", dict(minibatch_size=32, segment=5,
+                                             gamma=0.05)),
+                       ("lbfgs", dict(minibatch_size=None))):
+        model = make_model(s=1, m=8)
+        m2, losses = fit_modgp(model, x, y, num_steps=10, method=method,
+                               learning_rate=0.01, **kw)
+        assert np.isfinite(np.asarray(losses)).all(), method
+        assert float(losses[-1]) < float(losses[0]), method
