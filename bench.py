@@ -7,10 +7,13 @@ N=16,000 @ 16 kHz, 1 source, minibatch 100, Adam, M~extrema count): the whole
 Adam loop jit-compiled as one lax.scan on the accelerator.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the north
-star is ">=10x audio-seconds/s per chip vs CPU GPflow".  As a measurable proxy
-the same compiled program is timed on the host CPU backend and the ratio
-accelerator/CPU is reported.  This is JAX-vs-JAX, NOT vs CPU GPflow — labeled
-honestly as such.
+star is ">=10x audio-seconds/s per chip vs CPU GPflow".  gpflow cannot be
+installed here, so the ratio is against a MEASURED reference-equivalent CPU
+TF baseline (scripts/baseline_cpu_tf.py — the same TF ops, f64 and
+per-partial kernel loops the reference delegates to, run as TF 2.21 graphs
+on this host's CPU; constants below, provenance in BASELINE.md).  The
+JAX-TPU-vs-JAX-CPU ratio of the same compiled program is also reported as
+``vs_cpu_jax``.
 
 ``extras`` carries the BASELINE.md workload-level metrics (round-1 VERDICT
 item 5):
@@ -237,6 +240,14 @@ def run_amt88_bank(maxiter=100, num_windows=16):
     return out
 
 
+# Measured reference-equivalent CPU baseline (scripts/baseline_cpu_tf.py,
+# TF 2.21 f64 tf.function graphs re-implementing the reference's per-step
+# computation with the same TF ops it delegates to; see BASELINE.md table).
+# Re-run the script to refresh; constants avoid a ~3-min TF run per bench.
+CPU_TF_SVGP_STEPS_PER_S = 96.8
+CPU_TF_SGPR_WINDOW_STEPS_PER_S = 18.1
+
+
 def main():
     import jax
     from gpitch_tpu.utils.profiling import flops_svgp_step, utilization_report
@@ -244,17 +255,18 @@ def main():
     default = jax.default_backend()
     steps_per_s, final_loss = run_svgp(default, num_steps=2000)
 
-    vs = 1.0
+    vs = steps_per_s / CPU_TF_SVGP_STEPS_PER_S
+    extras = {"vs_baseline_note":
+              "vs measured reference-equivalent CPU TF baseline "
+              "(scripts/baseline_cpu_tf.py: same TF ops/f64/per-partial "
+              "loops the reference delegates to; gpflow itself not "
+              "installable here) — see BASELINE.md"}
     try:
         if default != "cpu":
             cpu_steps_per_s, _ = run_svgp("cpu", num_steps=200)
-            vs = steps_per_s / cpu_steps_per_s
+            extras["vs_cpu_jax"] = round(steps_per_s / cpu_steps_per_s, 2)
     except Exception:
         pass
-
-    extras = {"vs_baseline_note":
-              "same jitted program TPU-vs-host-CPU (reference publishes no "
-              "numbers; this is NOT vs CPU GPflow)"}
     util = utilization_report(flops_svgp_step(100, 128, 1, 3),
                               1.0 / steps_per_s)
     extras["svgp_mfu"] = round(util["mfu"], 5)
@@ -265,6 +277,11 @@ def main():
         # number (round-2 VERDICT weak #7): audio-seconds of 3-source
         # separation optimized per wall-second on one chip
         extras["separation_audio_s_per_s"] = extras["separation"]["audio_s_per_s"]
+        # window-steps/s vs the measured sequential CPU TF reference
+        sep = extras["separation"]
+        extras["separation"]["vs_cpu_tf"] = round(
+            sep["steps_per_s"] * sep["num_windows"]
+            / CPU_TF_SGPR_WINDOW_STEPS_PER_S, 1)
     except Exception as e:  # pragma: no cover
         extras["separation"] = {"error": f"{type(e).__name__}: {e}"}
     try:

@@ -456,12 +456,72 @@ def run_hmc(num_samples: int = 200, num_warmup: int = 100,
     }
 
 
+def run_kernel_train(maxiter: int = 300, num_sam: int = 10000,
+                     seconds: float = 4.0) -> dict:
+    """Workload 6: the reference's 'train' kernel-learning mode at reference
+    scale (separation.py:186-212: sampled covariance over 10k random windows
+    + parametric Matern-SM fit, kernelfit.py:61-87) — round-2 VERDICT weak
+    #8: this path had no reference-scale evidence.  Learns per-pitch kernels
+    from the real MAPS note in BOTH modes and runs the same small separation
+    with each, comparing fit quality and end RMSE."""
+    from gpitch_tpu.pipelines import SoSp
+    from gpitch_tpu.pipelines.separation import learn_pitch_params
+
+    fs = 16000.0
+    note_c, _ = load_ref_note()
+    notes = {"M60": note_c, "M64": pitch_shift(note_c, 4.0),
+             "M67": pitch_shift(note_c, 7.0)}
+    train = [notes[k][: int(2 * fs)] for k in notes]
+    names = [f"piano_{k}_train.wav" for k in notes]
+
+    t0 = time.perf_counter()
+    params_train, kern_sampled = learn_pitch_params(
+        train, names, fs, mode="train", num_sam=num_sam, max_par=5)
+    learn_s = time.perf_counter() - t0
+
+    # fit quality: RMSE between the sampled kernel and the fitted parametric
+    # form, per pitch (kernelfit's own objective, kernelfit.py:54-58);
+    # approximate_kernel packs p = [bias, lengthscale, v_1..P, f_1..P]
+    from gpitch_tpu.pipelines.kernel_learning import approximate_kernel
+    fit_rmse = []
+    for i in range(3):
+        ks = np.asarray(kern_sampled[1][i]).reshape(-1)
+        x = np.asarray(kern_sampled[0][i]).reshape(-1)
+        p = np.hstack([[0.0], np.atleast_1d(params_train[0][i]),
+                       np.asarray(params_train[1][i]).reshape(-1),
+                       np.asarray(params_train[2][i]).reshape(-1)])
+        approx = np.asarray(approximate_kernel(p, x)).reshape(-1)
+        fit_rmse.append(float(np.sqrt(np.mean((approx - ks) ** 2))))
+
+    onsets = {"M60": [0.2], "M64": [1.0], "M67": [1.9]}
+    sources = [place_notes(notes[k], onsets[k], seconds, fs) for k in notes]
+    mix = sum(sources)
+    x = (np.arange(len(mix)) / fs).reshape(-1, 1)
+
+    out = {"workload": "sampled-cov (10k windows) + parametric Matern-SM fit "
+                       "per pitch on the real MAPS note, then a "
+                       f"{seconds:.0f}-s separation with the learned kernels "
+                       "vs the fft-init kernels",
+           "learn_s": round(learn_s, 2),
+           "lengthscales": [float(np.asarray(v)) for v in params_train[0]],
+           "kernel_fit_rmse": [round(v, 4) for v in fit_rmse]}
+    for mode, saved in (("train", params_train), ("fft", None)):
+        model = SoSp(train_signals=train, train_names=names, fs=fs,
+                     mixture=(x, mix), window_size=2001,
+                     kernel_mode="load" if saved else "fft",
+                     saved_params=saved, max_par=5, num_inducing=112, dec=2)
+        model.optimize(maxiter=maxiter, learning_rate=0.01)
+        model.predict_s(batch_size=8)
+        out[f"rmse_{mode}"] = float(model.compute_rmse(sources))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="shrunken sizes (smoke test)")
     ap.add_argument("--only", choices=["real_audio", "separation", "amt",
-                                       "amt88_dict", "hmc"],
+                                       "amt88_dict", "hmc", "kernel_train"],
                     default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness debugging)")
@@ -491,6 +551,10 @@ def main():
         "hmc": lambda: run_hmc(num_samples=20 if args.quick else 200,
                                num_warmup=10 if args.quick else 100,
                                num_chains=2 if args.quick else 4),
+        "kernel_train": lambda: run_kernel_train(
+            maxiter=30 if args.quick else 300,
+            num_sam=500 if args.quick else 10000,
+            seconds=2.0 if args.quick else 4.0),
     }
     for name, job in jobs.items():
         if args.only and name != args.only:
