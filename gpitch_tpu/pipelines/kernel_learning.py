@@ -5,7 +5,11 @@ Rebuilds /root/reference/gpitch/samplecov.py, covsamp.py and kernelfit.py:
 * ``sample_cov`` — Monte-Carlo covariance from random windows.  The reference
   runs one TF session call *per sample* (samplecov.py:28-33, 10k round trips);
   here all samples gather into an (S, size) matrix and the covariance is a
-  single X^T X matmul on the MXU.
+  single X^T X matmul.  It runs in host BLAS, deliberately: the windows are
+  host-resident (this is data preprocessing), the matmul is ~2 GFLOP, and
+  shipping the 35 MB sample matrix across the device link costs orders of
+  magnitude more than computing the 441x441 product where the data lives
+  (measured 62 s host->device transfer on the relayed TPU vs 0.1 s of BLAS).
 * ``autocorr`` — autocorrelation kernel estimate (samplecov.py:56-74) as one
   FFT-based correlation.
 * ``fit_kernel`` — fit the parametric Matern-spectral-mixture form to the
@@ -15,6 +19,8 @@ Rebuilds /root/reference/gpitch/samplecov.py, covsamp.py and kernelfit.py:
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +44,8 @@ def sample_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
     rng = np.random.default_rng(seed)
     idx = rng.integers(0, y.size - size, size=num_sam)
     windows = y[idx[:, None] + np.arange(size)[None, :]]  # (S, size)
-    w = jnp.asarray(windows)
-    cov = np.asarray(jnp.matmul(w.T, w, preferred_element_type=w.dtype)) / num_sam
+    # host BLAS on purpose — see module docstring (data-local compute)
+    cov = np.matmul(windows.T, windows) / num_sam
     kern = cov[0, :].copy().reshape(-1, 1)
     kern /= np.max(np.abs(kern))
     return cov, kern, windows
@@ -55,9 +61,10 @@ def get_samples(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
 
 def comatrix(samples):
     """Average outer product of sample windows (samplecov.py:17-37) as one
-    X^T X matmul instead of the reference's per-sample session loop."""
-    w = jnp.asarray(np.asarray(samples))
-    return np.asarray(jnp.matmul(w.T, w, preferred_element_type=w.dtype)) / w.shape[0]
+    host-BLAS X^T X matmul instead of the reference's per-sample session
+    loop (data-local compute; see module docstring)."""
+    w = np.asarray(samples)
+    return np.matmul(w.T, w) / w.shape[0]
 
 
 def get_cov(y, num_sam: int = 10000, size: int = 441, seed: int = 0):
@@ -97,6 +104,48 @@ def _rmse_loss(p, x, target):
     return jnp.sqrt(jnp.mean(jnp.square(approximate_kernel(p, x) - target)))
 
 
+@functools.lru_cache(maxsize=16)
+def _kernelfit_runner(num_steps: int, psize: int, xsize: int, dtype: str):
+    """One compiled L-BFGS executable per (schedule, shapes) — the sampled
+    kernel/x enter as ARGUMENTS, so fitting P pitches compiles once, not P
+    times (each per-pitch closure previously recompiled the zoom-linesearch
+    scan: ~25 s/pitch; an 88-pitch 'train'-mode dictionary would have spent
+    ~37 min compiling)."""
+    import optax
+
+    optimizer = optax.lbfgs(memory_size=20)
+
+    @jax.jit
+    def run(p0, x, target):
+        def loss(p):
+            return _rmse_loss(p, x, target)
+
+        value_and_grad = optax.value_and_grad_from_state(loss)
+        opt_state = optimizer.init(p0)
+
+        def body(carry, _):
+            p, st = carry
+            value, grads = value_and_grad(p, state=st)
+            updates, st2 = optimizer.update(grads, st, p, value=value,
+                                            grad=grads, value_fn=loss)
+            p2 = optax.apply_updates(p, updates)
+            # same freeze rule as models/fit.fit_lbfgs: a flat objective makes
+            # the zoom linesearch produce unbounded steps — stop once the
+            # gradient vanishes or any update goes non-finite
+            gnorm = optax.global_norm(grads)
+            finite = jnp.all(jnp.isfinite(updates))
+            ok = (gnorm > 1e-9) & finite
+            keep = lambda a, b: jax.tree_util.tree_map(
+                lambda u, v: jnp.where(ok, u, v), a, b)
+            return (keep(p2, p), keep(st2, st)), value
+
+        (p, _), losses = jax.lax.scan(body, (p0, opt_state), None,
+                                      length=num_steps)
+        return p, losses
+
+    return run
+
+
 def fit_kernel(kern, audio, file_name, max_par: int, fs: float, num_steps: int = 250):
     """Mirror of kernelfit.fit (kernelfit.py:61-87): init (f, v) from the FFT,
     minimize RMSE to the sampled kernel, return [lengthscale, variances,
@@ -112,8 +161,9 @@ def fit_kernel(kern, audio, file_name, max_par: int, fs: float, num_steps: int =
 
     target = jnp.asarray(kern)
     xj = jnp.asarray(xkern)
-    pstar, losses = fit_lbfgs(p0, lambda p: _rmse_loss(p, xj, target),
-                              num_steps=num_steps)
+    run = _kernelfit_runner(num_steps, int(p0.shape[0]), int(xj.shape[0]),
+                            str(p0.dtype))
+    pstar, losses = run(p0, xj, target)
     pstar = jnp.sqrt(jnp.square(pstar))  # kernelfit.py:57
 
     npartials = (pstar.shape[0] - 2) // 2
