@@ -23,7 +23,7 @@ import optax
 from ..core.params import zero_untrainable_grads
 
 __all__ = ["fit_adam", "fit_adam_timed", "fit_adam_segmented", "fit_lbfgs",
-           "adam_step_fn", "minibatch_fn"]
+           "lbfgs_solve", "adam_step_fn", "minibatch_fn"]
 
 
 def minibatch_fn(x, y, minibatch_size: int):
@@ -211,14 +211,14 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
     return model, losses, compile_s, run_s
 
 
-def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,
-              grad_tol: float = 1e-9):
-    """L-BFGS with zoom linesearch over the full model pytree.
+def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
+                memory_size: int = 20, grad_tol: float = 1e-9):
+    """Un-jitted L-BFGS core (zoom linesearch, fixed-length scan).
 
-    Replaces the scipy L-BFGS-B the reference uses for the per-window
-    separation/AMT optimizations (separation.py:298) — here the whole solver
-    runs on-device inside one jit.  loss_fn(model) -> scalar.
-    Returns (model, losses).
+    Pure jax -> composable: ``jax.vmap(lambda m: lbfgs_solve(m, ...))`` runs
+    one *independent* solver per batch element (per-window linesearch and
+    curvature memory — the semantics of the reference's per-window scipy
+    L-BFGS-B loop, separation.py:289-298).  Returns (model, losses).
 
     Iterations freeze once the (masked) gradient norm drops below ``grad_tol``
     or an update goes non-finite: running the zoom linesearch on an exactly
@@ -231,33 +231,43 @@ def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int 
         return loss_fn(m)
 
     value_and_grad = optax.value_and_grad_from_state(masked_loss)
+    opt_state = optimizer.init(model)
 
-    @jax.jit
-    def run(model):
-        opt_state = optimizer.init(model)
+    def body(carry, _):
+        m, st = carry
+        value, grads = value_and_grad(m, state=st)
+        grads = zero_untrainable_grads(grads)
+        updates, st2 = optimizer.update(grads, st, m, value=value, grad=grads,
+                                        value_fn=masked_loss)
+        m2 = optax.apply_updates(m, updates)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(u)) for u in jax.tree_util.tree_leaves(updates)]))
+        ok = (gnorm > grad_tol) & finite
 
-        def body(carry, _):
-            m, st = carry
-            value, grads = value_and_grad(m, state=st)
-            grads = zero_untrainable_grads(grads)
-            updates, st2 = optimizer.update(grads, st, m, value=value, grad=grads,
-                                            value_fn=masked_loss)
-            m2 = optax.apply_updates(m, updates)
-            gnorm = optax.global_norm(grads)
-            finite = jnp.all(jnp.asarray(
-                [jnp.all(jnp.isfinite(u)) for u in jax.tree_util.tree_leaves(updates)]))
-            ok = (gnorm > grad_tol) & finite
+        def pick(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
 
-            def pick(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(ok, a, b), new, old)
+        return (pick(m2, m), pick(st2, st)), value
 
-            return (pick(m2, m), pick(st2, st)), value
+    (m, _), losses = jax.lax.scan(body, (model, opt_state), None,
+                                  length=num_steps)
+    return m, losses
 
-        (m, _), losses = jax.lax.scan(body, (model, opt_state), None,
-                                      length=num_steps)
-        return m, losses
 
+def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,
+              grad_tol: float = 1e-9):
+    """L-BFGS with zoom linesearch over the full model pytree.
+
+    Replaces the scipy L-BFGS-B the reference uses for the per-window
+    separation/AMT optimizations (separation.py:298) — here the whole solver
+    runs on-device inside one jit.  loss_fn(model) -> scalar.
+    Returns (model, losses).  See ``lbfgs_solve`` for the guard semantics.
+    """
+    run = jax.jit(lambda m: lbfgs_solve(m, loss_fn, num_steps=num_steps,
+                                        memory_size=memory_size,
+                                        grad_tol=grad_tol))
     return run(model)
 
 

@@ -25,12 +25,13 @@ class _DAState(NamedTuple):
     step: jnp.ndarray
 
 
-def _leapfrog(logprob_grad, q, p, eps, num_steps):
+def _leapfrog(logprob_grad, q, p, eps, num_steps, inv_mass):
     def body(i, carry):
         q, p = carry
         _, g = logprob_grad(q)
         p = jax.tree_util.tree_map(lambda p_, g_: p_ + 0.5 * eps * g_, p, g)
-        q = jax.tree_util.tree_map(lambda q_, p_: q_ + eps * p_, q, p)
+        q = jax.tree_util.tree_map(lambda q_, p_, v_: q_ + eps * v_ * p_,
+                                   q, p, inv_mass)
         _, g = logprob_grad(q)
         p = jax.tree_util.tree_map(lambda p_, g_: p_ + 0.5 * eps * g_, p, g)
         return q, p
@@ -38,39 +39,56 @@ def _leapfrog(logprob_grad, q, p, eps, num_steps):
     return jax.lax.fori_loop(0, num_steps, body, (q, p))
 
 
-def _tree_randn_like(key, tree):
+def _tree_randn_scaled(key, tree, inv_mass):
+    """p ~ N(0, M) with M = 1/inv_mass (diagonal): std = 1/sqrt(inv_mass)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    vleaves = jax.tree_util.tree_leaves(inv_mass)
     keys = jax.random.split(key, len(leaves))
     return jax.tree_util.tree_unflatten(
-        treedef, [jax.random.normal(k, l.shape, l.dtype)
-                  for k, l in zip(keys, leaves)])
+        treedef, [jax.random.normal(k, l.shape, l.dtype) / jnp.sqrt(v)
+                  for k, l, v in zip(keys, leaves, vleaves)])
 
 
-def _kinetic(p):
-    return 0.5 * sum(jnp.sum(jnp.square(l)) for l in jax.tree_util.tree_leaves(p))
+def _kinetic(p, inv_mass):
+    """0.5 p^T M^{-1} p with diagonal M^{-1} = inv_mass."""
+    return 0.5 * sum(jnp.sum(jnp.square(l) * v)
+                     for l, v in zip(jax.tree_util.tree_leaves(p),
+                                     jax.tree_util.tree_leaves(inv_mass)))
 
 
 def hmc_sample(logprob_fn: Callable, init_params, key, num_samples: int = 500,
                num_warmup: int = 200, num_leapfrog: int = 16,
                init_step_size: float = 0.01, target_accept: float = 0.8,
-               num_chains: int = 4, jitter_init: float = 0.1):
+               num_chains: int = 4, jitter_init: float = 0.1,
+               mass_adapt: bool = True):
     """Run ``num_chains`` vectorized HMC chains.
 
     logprob_fn(params_pytree) -> scalar log density (unnormalized).
     Returns (samples pytree with leading (num_chains, num_samples) axes,
     accept_rate (num_chains,)).
+
+    ``mass_adapt``: Stan-style diagonal mass-matrix adaptation — warmup runs
+    in two halves: half A adapts the step size under an identity metric while
+    accumulating Welford estimates of the per-parameter posterior variance;
+    the regularized variances become the diagonal inverse mass for half B,
+    which re-adapts the step size under the new metric.  Essential when raw
+    parameters live on very different scales (e.g. kernel frequency raws
+    O(100) next to lengthscale raws O(0.1)): a single scalar step size under
+    an identity metric is throttled by the stiffest direction and the loose
+    directions never mix.
     """
     logprob_grad = jax.value_and_grad(logprob_fn)
 
     def one_chain(key, q0):
-        def hmc_step(q, key, eps):
+        def hmc_step(q, key, eps, inv_mass):
             k1, k2 = jax.random.split(key)
-            p0 = _tree_randn_like(k1, q)
+            p0 = _tree_randn_scaled(k1, q, inv_mass)
             lp0, _ = logprob_grad(q)
-            h0 = -lp0 + _kinetic(p0)
-            q1, p1 = _leapfrog(logprob_grad, q, p0, eps, num_leapfrog)
+            h0 = -lp0 + _kinetic(p0, inv_mass)
+            q1, p1 = _leapfrog(logprob_grad, q, p0, eps, num_leapfrog,
+                               inv_mass)
             lp1, _ = logprob_grad(q1)
-            h1 = -lp1 + _kinetic(p1)
+            h1 = -lp1 + _kinetic(p1, inv_mass)
             log_alpha = jnp.minimum(0.0, h0 - h1)
             log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
             accept = jnp.log(jax.random.uniform(k2)) < log_alpha
@@ -78,32 +96,62 @@ def hmc_sample(logprob_fn: Callable, init_params, key, num_samples: int = 500,
                 lambda a, b: jnp.where(accept, a, b), q1, q)
             return q_new, jnp.exp(log_alpha), accept
 
-        # warmup with dual averaging (Hoffman & Gelman 2014, alg. 5 constants)
-        mu = jnp.log(10.0 * init_step_size)
-        da0 = _DAState(jnp.log(init_step_size), jnp.log(init_step_size),
-                       jnp.asarray(0.0), jnp.asarray(0.0))
+        # dual averaging (Hoffman & Gelman 2014, alg. 5 constants)
+        def adapt_scan(q, keys, inv_mass, eps0, welford: bool):
+            mu = jnp.log(10.0 * eps0)
+            da0 = _DAState(jnp.log(eps0), jnp.log(eps0),
+                           jnp.asarray(0.0), jnp.asarray(0.0))
+            w0 = (jax.tree_util.tree_map(jnp.zeros_like, q),
+                  jax.tree_util.tree_map(jnp.zeros_like, q))
 
-        def warm_body(carry, k):
-            q, da = carry
-            q, alpha, _ = hmc_step(q, k, jnp.exp(da.log_eps))
-            t = da.step + 1.0
-            h_avg = (1.0 - 1.0 / (t + 10.0)) * da.h_avg \
-                + (target_accept - alpha) / (t + 10.0)
-            log_eps = mu - jnp.sqrt(t) / 0.05 * h_avg
-            w = t ** -0.75
-            log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
-            return (q, _DAState(log_eps, log_eps_avg, h_avg, t)), None
+            def body(carry, k):
+                q, da, (wmean, wm2) = carry
+                q, alpha, _ = hmc_step(q, k, jnp.exp(da.log_eps), inv_mass)
+                t = da.step + 1.0
+                h_avg = (1.0 - 1.0 / (t + 10.0)) * da.h_avg \
+                    + (target_accept - alpha) / (t + 10.0)
+                log_eps = mu - jnp.sqrt(t) / 0.05 * h_avg
+                w = t ** -0.75
+                log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
+                if welford:
+                    delta = jax.tree_util.tree_map(
+                        lambda x, m: x - m, q, wmean)
+                    wmean = jax.tree_util.tree_map(
+                        lambda m, d: m + d / t, wmean, delta)
+                    wm2 = jax.tree_util.tree_map(
+                        lambda m2, d, x, m: m2 + d * (x - m),
+                        wm2, delta, q, wmean)
+                return (q, _DAState(log_eps, log_eps_avg, h_avg, t),
+                        (wmean, wm2)), None
 
-        keys_w = jax.random.split(key, num_warmup + num_samples + 1)
-        (q, da), _ = jax.lax.scan(warm_body, (q0, da0), keys_w[:num_warmup])
-        eps = jnp.exp(da.log_eps_avg)
+            (q, da, (wmean, wm2)), _ = jax.lax.scan(body, (q, da0, w0), keys)
+            return q, jnp.exp(da.log_eps_avg), wm2, da
+
+        keys_all = jax.random.split(key, num_warmup + num_samples + 1)
+        keys_w, keys_s = keys_all[:num_warmup], keys_all[num_warmup:-1]
+        identity = jax.tree_util.tree_map(jnp.ones_like, q0)
+
+        if mass_adapt and num_warmup >= 20:
+            wa = num_warmup // 2
+            q, eps_a, wm2, _ = adapt_scan(q0, keys_w[:wa], identity,
+                                          init_step_size, welford=True)
+            n = jnp.asarray(float(wa))
+            # Stan regularization: shrink toward 1e-3 with pseudo-count 5
+            inv_mass = jax.tree_util.tree_map(
+                lambda m2: (n / ((n + 5.0) * jnp.maximum(n - 1.0, 1.0))) * m2
+                + 5e-3 / (n + 5.0), wm2)
+            q, eps, _, _ = adapt_scan(q, keys_w[wa:], inv_mass, eps_a,
+                                      welford=False)
+        else:
+            inv_mass = identity
+            q, eps, _, _ = adapt_scan(q0, keys_w, identity, init_step_size,
+                                      welford=False)
 
         def samp_body(q, k):
-            q, _, accept = hmc_step(q, k, eps)
+            q, _, accept = hmc_step(q, k, eps, inv_mass)
             return q, (q, accept)
 
-        _, (samples, accepts) = jax.lax.scan(samp_body, q,
-                                             keys_w[num_warmup:-1])
+        _, (samples, accepts) = jax.lax.scan(samp_body, q, keys_s)
         return samples, jnp.mean(accepts.astype(jnp.float32))
 
     keys = jax.random.split(key, num_chains + 1)

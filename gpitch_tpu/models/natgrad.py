@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..core.params import Param
 from ..linalg.ops import add_jitter, solve_lower
 
-__all__ = ["natgrad_step", "fit_natgrad_adam"]
+__all__ = ["natgrad_step", "natgrad_polish", "fit_natgrad_adam"]
 
 
 def _sym(a):
@@ -106,17 +106,56 @@ def natgrad_step(model, x, y, gamma: float = 0.1, num_data: int | None = None):
     )
 
 
+def natgrad_polish(model, x, y, num_steps: int = 200, gamma: float = 0.05,
+                   num_data: int | None = None):
+    """Full-batch natural-gradient-only refinement (hypers frozen).
+
+    Salimbeni-style finishing phase: from a (near-)converged state, fixed-size
+    natural steps on the exact (full-data) ELBO walk the variational
+    distribution to the optimum for the current hypers — no minibatch noise,
+    so no decay schedule is needed.  Non-finite steps are skipped with the
+    same halving backoff as the main loop.  Returns (model, losses) with NaN
+    recorded on skipped steps.
+    """
+
+    @jax.jit
+    def run(model):
+        def body(carry, _):
+            m, gscale = carry
+            m2 = natgrad_step(m, x, y, gamma * gscale, num_data)
+            loss = m2.loss(x, y, num_data)
+            finite = jnp.isfinite(loss)
+            for leaf in jax.tree_util.tree_leaves(m2):
+                finite = finite & jnp.all(jnp.isfinite(leaf))
+            keep = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), m2, m)
+            gscale = jnp.where(finite, jnp.minimum(gscale * 1.05, 1.0),
+                               jnp.maximum(gscale * 0.5, 1e-3))
+            return (keep, gscale), jnp.where(finite, loss, jnp.nan)
+
+        (m, _), losses = jax.lax.scan(body, (model, jnp.asarray(1.0)), None,
+                                      length=num_steps)
+        return m, losses
+
+    return run(model)
+
+
 def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
                      learning_rate: float = 0.01, num_data: int | None = None,
                      batch_fn: Callable | None = None, key=None,
-                     segment: int | None = None, gamma_warmup: int = 100):
+                     segment: int | None = None, gamma_warmup: int = 100,
+                     polish_steps: int = 0, polish_gamma: float = 0.05,
+                     return_info: bool = False):
     """Alternate natural-gradient (variational banks) and Adam (hypers) steps.
 
     ``segment=None``: the whole loop is one jitted scan.  ``segment=k``: one
     k-step scan is compiled once and re-invoked ceil(num_steps/k) times —
     same reasoning as models/fit.py:fit_adam_segmented (compile cost scales
     with the traced scan body only, and long single dispatches trip RPC
-    deadlines on relayed TPU runtimes).  Returns (model, losses).
+    deadlines on relayed TPU runtimes).  Returns (model, losses), or
+    (model, losses, info) with ``return_info=True`` where info records
+    n_skipped (non-finite steps), the full-data ELBO trajectory at segment
+    boundaries, and which state was returned.
 
     Stability (long minibatch runs): gamma ramps linearly from gamma/50 to
     gamma over ``gamma_warmup`` steps — a full-size natural step from a cold
@@ -125,8 +164,17 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     state) AND halves an adaptive gamma scale, which recovers by 5%% per
     finite step; near convergence S is ill-conditioned in f32 and the
     full-size natural step intermittently overshoots, so the backoff keeps
-    the run productive instead of frozen.  Recorded losses substitute the
-    last finite value on skipped steps.
+    the run productive instead of frozen.  Skipped steps record NaN in the
+    loss trace (round-3 ADVICE: substituting the last finite value hid
+    divergence), so ``np.isnan(losses).sum()`` counts them.
+
+    Best-state selection (segmented path): the returned model is the best of
+    (a) the final state, (b) the segment-boundary state with the best
+    FULL-DATA ELBO, (c) — with ``polish_steps`` > 0 — state (b) refined by a
+    full-batch natural-gradient-only phase (``natgrad_polish``).  Rationale:
+    under a decaying minibatch schedule the run can wander away from an
+    optimum it already found (the round-3 quality run peaked at 61.1k and
+    ended at 48.2k); selecting on the training objective keeps that optimum.
     """
     import optax
     from ..core.params import zero_untrainable_grads
@@ -144,7 +192,7 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def body(carry, k):
-        m, st, step_i, gscale, prev_loss = carry
+        m, st, step_i, gscale = carry
         xb, yb = batch_fn(k) if batch_fn is not None else (x, y)
         ramp = jnp.minimum(1.0, (step_i + 1.0) / max(gamma_warmup, 1))
         # 1/sqrt decay after ~20x warmup: a fixed-size natural step under
@@ -167,12 +215,10 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
 
         gscale = jnp.where(finite, jnp.minimum(gscale * 1.05, 1.0),
                            jnp.maximum(gscale * 0.5, 1e-3))
-        loss_rec = jnp.where(finite, loss, prev_loss)
-        return (pick(m2, m), pick(st2, st), step_i + 1.0, gscale,
-                loss_rec), loss_rec
+        return (pick(m2, m), pick(st2, st), step_i + 1.0,
+                gscale), jnp.where(finite, loss, jnp.nan)
 
-    carry0 = (model, opt_state, jnp.asarray(0.0), jnp.asarray(1.0),
-              jnp.asarray(jnp.inf))
+    carry0 = (model, opt_state, jnp.asarray(0.0), jnp.asarray(1.0))
 
     if segment is None:
         @jax.jit
@@ -181,9 +227,17 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
             (m, *_), losses = jax.lax.scan(body, carry, keys)
             return m, losses
 
-        return run(carry0)
+        model, losses = run(carry0)
+        if return_info:
+            import numpy as np
+            info = {"n_skipped": int(np.isnan(np.asarray(losses)).sum()),
+                    "returned": "final"}
+            return model, losses, info
+        return model, losses
 
     import numpy as np
+
+    full_loss = jax.jit(lambda mm: mm.loss(x, y, num_data))
 
     def make_run(length):
         @jax.jit
@@ -197,11 +251,42 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     if num_steps % segment:
         lengths.append(num_steps % segment)
     run_full = make_run(segment)
-    losses_out = []
+    losses_out, full_trace = [], []
     carry = carry0
+    best_model, best_full = None, np.inf
     for length in lengths:
         run = run_full if length == segment else make_run(length)
         key, sub = jax.random.split(key)
         carry, losses = run(carry, sub)
         losses_out.append(np.asarray(losses))
-    return carry[0], jnp.asarray(np.concatenate(losses_out))
+        # best-state selection on the FULL-data objective (exact, not the
+        # noisy minibatch estimate) at segment granularity
+        fl = float(full_loss(carry[0]))
+        full_trace.append(fl)
+        if np.isfinite(fl) and fl < best_full:
+            best_full, best_model = fl, carry[0]
+    losses = jnp.asarray(np.concatenate(losses_out))
+    final_model = carry[0]
+    final_full = full_trace[-1] if full_trace else float(full_loss(final_model))
+
+    returned, out = "final", final_model
+    if best_model is not None and best_full < final_full:
+        returned, out = "best_segment", best_model
+    polish_info = None
+    if polish_steps and best_model is not None:
+        pol, pol_losses = natgrad_polish(out, x, y, num_steps=polish_steps,
+                                         gamma=polish_gamma,
+                                         num_data=num_data)
+        pol_full = float(full_loss(pol))
+        polish_info = {"steps": polish_steps, "gamma": polish_gamma,
+                       "full_loss_before": min(best_full, final_full),
+                       "full_loss_after": pol_full,
+                       "n_skipped": int(np.isnan(np.asarray(pol_losses)).sum())}
+        if np.isfinite(pol_full) and pol_full < min(best_full, final_full):
+            returned, out = "polished", pol
+    if return_info:
+        info = {"n_skipped": int(np.isnan(np.asarray(losses)).sum()),
+                "full_loss_at_segments": [round(v, 2) for v in full_trace],
+                "returned": returned, "polish": polish_info}
+        return out, losses, info
+    return out, losses

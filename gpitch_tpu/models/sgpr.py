@@ -266,7 +266,12 @@ class SGPR:
         bound -= 0.5 * outdim * jnp.sum(kdiag) / sigma2
         bound += 0.5 * outdim * jnp.trace(AAT)
         if self.reg:
-            bound = bound - self.reg_beta * self._l1_variances()
+            pen = self.reg_beta * self._l1_variances()
+            if self.mask is not None:
+                # a fully-masked window (mesh padding, pad_bank_windows) must
+                # contribute exactly zero to loss AND gradients
+                pen = jnp.where(num_data > 0, pen, 0.0)
+            bound = bound - pen
         return bound
 
     def build_likelihood(self):

@@ -37,13 +37,27 @@ def optimize_bank_resumable(bank, num_steps: int, checkpoint_dir: str,
     """
     os.makedirs(checkpoint_dir, exist_ok=True)
     optimizer = optax.adam(learning_rate)
-    state = (bank, optimizer.init(bank))
+    opt_state = optimizer.init(bank)
 
     done = list_checkpoints(checkpoint_dir)
     start = done[-1] if done else 0
     if start:
-        state = load_model(checkpoint_dir, state, step=start)
-    bank, opt_state = state
+        try:
+            bank, opt_state = load_model(checkpoint_dir, (bank, opt_state),
+                                         step=start)
+        except ValueError:
+            # FORMAT NOTE: round-3 widened the payload from bank-only to
+            # (bank, opt_state) so resume is bit-faithful.  Old directories
+            # still restore — bank only, with fresh Adam moments (approximate
+            # resume, the pre-change behavior) — and get a loud warning.
+            import warnings
+            bank = load_model(checkpoint_dir, bank, step=start)
+            opt_state = optimizer.init(bank)
+            warnings.warn(
+                "resuming from a pre-(bank, opt_state) checkpoint: optimizer "
+                "moments restart at zero, so the resumed run is NOT "
+                "bit-identical to an uninterrupted one", RuntimeWarning,
+                stacklevel=2)
 
     def step(carry, _):
         m, st = carry

@@ -35,14 +35,18 @@ __all__ = ["SoSp", "learn_pitch_params", "load_mixture_from_sources"]
 
 def learn_pitch_params(train_signals, names, fs, mode: str = "fft",
                        covsize: int = 441, num_sam: int = 10000, max_par: int = 1,
-                       saved=None):
+                       saved=None, timings: dict | None = None):
     """Per-pitch (lengthscale, energies, frequencies) — the three
     initialization modes of init_kernel (separation.py:179-236):
     'train' = sampled covariance + parametric fit, 'fft' = FFT peak init,
     'load' = previously saved params.
 
     Returns (params=[lengthscales, energies, frequencies], kern_sampled).
+    ``timings``: pass a dict to receive per-pitch per-stage seconds
+    ('sample_cov' and 'fit' lists) — the train mode's cost breakdown.
     """
+    import time as _time
+
     params = [[], [], []]
     xk, sk = [], []
     if mode == "load":
@@ -53,8 +57,14 @@ def learn_pitch_params(train_signals, names, fs, mode: str = "fft",
     for i, y in enumerate(train_signals):
         y = np.asarray(y).reshape(-1)
         if mode == "train":
+            t0 = _time.perf_counter()
             _, kern_sampled, _ = sample_cov(y, num_sam=num_sam, size=covsize)
+            t1 = _time.perf_counter()
             p, _, _ = fit_kernel(kern_sampled, y, names[i], max_par=max_par, fs=fs)
+            t2 = _time.perf_counter()
+            if timings is not None:
+                timings.setdefault("sample_cov", []).append(round(t1 - t0, 3))
+                timings.setdefault("fit", []).append(round(t2 - t1, 3))
             params[0].append(p[0])
             params[1].append(p[1])
             params[2].append(p[2])
@@ -155,14 +165,22 @@ class SoSp:
 
     # ------------------------------------------------------------- training
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
-                 method: str = "adam", timed: bool = False):
+                 method: str = "adam", timed: bool = False,
+                 window_chunk: int | None = None, mesh=None,
+                 mesh_axis: str = "w"):
         """All windows at once (replaces separation.py:279-313).
 
-        ``timed=True`` also returns (compile_s, run_s) for the Adam schedule.
+        ``timed=True`` also returns (compile_s, run_s) for the schedule.
+        ``mesh``: shard the window axis over a jax.sharding.Mesh — windows are
+        the data-parallel axis (SURVEY.md section 2.10); N chips optimize the
+        bank ~N times faster with zero per-step collectives.  ``method`` may
+        be "adam" or "lbfgs" (independent per-window solvers, the reference's
+        optimizer, separation.py:298).
         """
         out = optimize_bank(self.bank, num_steps=maxiter,
                             learning_rate=learning_rate, method=method,
-                            timed=timed)
+                            timed=timed, window_chunk=window_chunk,
+                            mesh=mesh, mesh_axis=mesh_axis)
         if timed:
             self.bank, losses, timing = out
         else:

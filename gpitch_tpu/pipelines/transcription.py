@@ -144,16 +144,20 @@ class AMT:
 
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
                  method: str = "adam", timed: bool = False,
-                 window_chunk: int | None = None):
+                 window_chunk: int | None = None, mesh=None,
+                 mesh_axis: str = "w"):
         """All windows in parallel (replaces transcription.py:265-298).
 
-        ``timed=True`` also returns (compile_s, run_s) for the Adam schedule.
+        ``timed=True`` also returns (compile_s, run_s) for the schedule.
         ``window_chunk``: exact chunked optimization for very large banks
         (88-pitch dictionary x hundreds of windows) — see optimize_bank.
+        ``mesh``: shard the window axis over a jax.sharding.Mesh (window data
+        parallelism, zero per-step collectives) — see optimize_bank.
         """
         out = optimize_bank(self.bank, num_steps=maxiter,
                             learning_rate=learning_rate, method=method,
-                            timed=timed, window_chunk=window_chunk)
+                            timed=timed, window_chunk=window_chunk,
+                            mesh=mesh, mesh_axis=mesh_axis)
         if timed:
             self.bank, losses, timing = out
         else:

@@ -165,9 +165,14 @@ def build_window_bank(x_windows, y_windows, z_windows, kern_builder: Callable,
             raise ValueError("grid_dt: inputs are not on the grid")
         if lag_table:
             # stacked models share static metadata, so the table must cover
-            # the *largest* per-window index span of X union Z
-            span = np.maximum(xv.max(axis=1), zv.max(axis=1))
-            num_lags = int(np.round(span.max())) + 1
+            # the *largest* per-window index span of X union Z.  The span is
+            # max - min, NOT max alone: centering uses the min of the *valid*
+            # (unmasked) inputs, so masked-out leading samples sit at negative
+            # grid indices and the device-side re-offset (_grid_indices) can
+            # produce lags up to max - min (matching _build_window_bank_loop).
+            hi = np.maximum(xv.max(axis=1), zv.max(axis=1))
+            lo = np.minimum(xv.min(axis=1), zv.min(axis=1))
+            num_lags = int(np.round((hi - lo).max())) + 1
 
     # ---- one template model (window 0), already centered/validated
     template = SGPRSS.create(
@@ -211,11 +216,12 @@ def bank_loss(bank):
 
 def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
                   method: str = "adam", timed: bool = False,
-                  segment: int | None = 50, window_chunk: int | None = None):
+                  segment: int | None = 50, window_chunk: int | None = None,
+                  mesh=None, mesh_axis: str = "w"):
     """Optimize every window simultaneously; returns (bank, losses).
 
-    ``timed=True`` (adam only) additionally returns (compile_s, run_s) —
-    XLA compilation vs execution of the whole schedule.
+    ``timed=True`` additionally returns (compile_s, run_s) — XLA compilation
+    vs execution of the whole schedule.
 
     ``segment``: Adam runs as re-invocations of one compiled segment-length
     scan (fit_adam_segmented) so no single device dispatch exceeds a few
@@ -226,54 +232,68 @@ def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
 
     ``window_chunk``: optimize the window axis in chunks of this size with
     ONE compiled executable reused for every chunk.  Windows are independent
-    and every leaf (data, kernel hypers, Adam state) carries the window axis,
-    so chunking is *exact* — identical updates to the unchunked run.  Use for
-    very large banks where XLA compile time / peak memory scales badly with
-    the window axis (the 88-pitch x 440-window AMT bank compiled for 214 s
-    and OOM-risked unchunked; 64-window chunks compile once in ~10 s).
+    and every leaf (data, kernel hypers, Adam/L-BFGS state) carries the window
+    axis, so chunking is *exact* — identical updates to the unchunked run.
+    Use for very large banks where XLA compile time / peak memory scales badly
+    with the window axis (the 88-pitch x 440-window AMT bank compiled for
+    214 s and OOM-risked unchunked; 64-window chunks compile once in ~10 s).
+
+    ``mesh``: a ``jax.sharding.Mesh`` — the window axis shards over its
+    ``mesh_axis`` (SURVEY.md section 2.10: windows are the data-parallel axis;
+    the per-window loop of reference separation.py:289 is embarrassingly
+    parallel).  Each optimized chunk is placed with NamedSharding and the
+    jitted update runs SPMD; per-window losses/updates need NO cross-window
+    collective, so the per-step communication is zero (the loss total is
+    summed on host from the per-window trace).  The chunk size is rounded up
+    to a mesh-size multiple (padding repeats the last window; pad results and
+    losses are excluded exactly).  A 1-device mesh is the unsharded
+    computation with no overhead.
+
+    ``method="lbfgs"``: an *independent* L-BFGS solver per window (vmapped
+    zoom linesearch + curvature memory) — the semantics of the reference's
+    per-window scipy L-BFGS-B (separation.py:298), not a joint solve whose
+    linesearch would couple windows.  Supports window_chunk and mesh.
     """
-    if method == "adam" and window_chunk is not None:
-        nw = jax.tree_util.tree_leaves(bank)[0].shape[0]
-        if nw > window_chunk:
-            return _optimize_bank_chunked(bank, num_steps, learning_rate,
-                                          window_chunk,
-                                          segment=segment or num_steps,
-                                          timed=timed)
-    if method == "adam":
-        if segment is not None:
-            bank, losses, compile_s, run_s = fit_adam_segmented(
-                bank, lambda b: bank_loss(b), num_steps=num_steps,
-                learning_rate=learning_rate,
-                segment=min(segment, num_steps))
-            if timed:
-                return bank, losses, (compile_s, run_s)
-            return bank, losses
+    if method == "lbfgs":
+        return _optimize_bank_lbfgs(bank, num_steps, window_chunk=window_chunk,
+                                    mesh=mesh, mesh_axis=mesh_axis, timed=timed)
+    if method != "adam":
+        raise ValueError(f"unknown method {method!r}")
+    nw = jax.tree_util.tree_leaves(bank)[0].shape[0]
+    if mesh is not None:
+        size = mesh.shape[mesh_axis]
+        wc = window_chunk if window_chunk is not None else nw
+        wc = -(-wc // size) * size  # round up to a mesh-size multiple
+        return _optimize_bank_chunked(bank, num_steps, learning_rate, wc,
+                                      segment=segment or num_steps,
+                                      timed=timed, mesh=mesh,
+                                      mesh_axis=mesh_axis)
+    if window_chunk is not None and nw > window_chunk:
+        return _optimize_bank_chunked(bank, num_steps, learning_rate,
+                                      window_chunk,
+                                      segment=segment or num_steps,
+                                      timed=timed)
+    if segment is not None:
+        bank, losses, compile_s, run_s = fit_adam_segmented(
+            bank, lambda b: bank_loss(b), num_steps=num_steps,
+            learning_rate=learning_rate,
+            segment=min(segment, num_steps))
         if timed:
-            bank, losses, compile_s, run_s = fit_adam_timed(
-                bank, lambda b: bank_loss(b), num_steps=num_steps,
-                learning_rate=learning_rate)
             return bank, losses, (compile_s, run_s)
-        return fit_adam(bank, lambda b: bank_loss(b), num_steps=num_steps,
-                        learning_rate=learning_rate)
-    return fit_lbfgs(bank, bank_loss, num_steps=num_steps)
+        return bank, losses
+    if timed:
+        bank, losses, compile_s, run_s = fit_adam_timed(
+            bank, lambda b: bank_loss(b), num_steps=num_steps,
+            learning_rate=learning_rate)
+        return bank, losses, (compile_s, run_s)
+    return fit_adam(bank, lambda b: bank_loss(b), num_steps=num_steps,
+                    learning_rate=learning_rate)
 
 
-def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
-                           window_chunk: int, segment: int, timed: bool):
-    """Exact chunked optimization: pad the window axis to a multiple of
-    ``window_chunk``, then run the same compiled segment-scan executable over
-    every chunk.  Returns (bank, losses[, (compile_s, run_s)]); losses are the
-    per-step TOTAL over all real windows (pad windows' losses excluded via
-    subtraction of the duplicated last window)."""
-    import time
-    from functools import partial
-
-    import optax
-
-    from ..core.params import zero_untrainable_grads
-
-    leaves = jax.tree_util.tree_leaves(bank)
-    nw = leaves[0].shape[0]
+def _chunk_plan(bank, window_chunk: int):
+    """Pad the window axis to a multiple of ``window_chunk`` (repeating the
+    last window) -> (padded bank, nw, num_chunks, pad)."""
+    nw = jax.tree_util.tree_leaves(bank)[0].shape[0]
     nc = -(-nw // window_chunk)
     pad = nc * window_chunk - nw
 
@@ -283,7 +303,41 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
             return x
         return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
 
-    padded = jax.tree_util.tree_map(pad_leaf, bank)
+    return jax.tree_util.tree_map(pad_leaf, bank), nw, nc, pad
+
+
+def _take_chunk(padded, ci: int, window_chunk: int, mesh, mesh_axis):
+    chunk = jax.tree_util.tree_map(
+        lambda x: jnp.array(x[ci * window_chunk:(ci + 1) * window_chunk]),
+        padded)
+    if mesh is not None:
+        from ..parallel.mesh import shard_leading_axis
+        chunk = shard_leading_axis(chunk, mesh, mesh_axis)
+    return chunk
+
+
+def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
+                           window_chunk: int, segment: int, timed: bool,
+                           mesh=None, mesh_axis: str = "w"):
+    """Exact chunked optimization: pad the window axis to a multiple of
+    ``window_chunk``, then run the same compiled segment-scan executable over
+    every chunk.  Returns (bank, losses[, (compile_s, run_s)]); losses are the
+    per-step TOTAL over all real windows (pad windows' losses excluded via
+    subtraction of the duplicated last window).
+
+    With ``mesh``, each chunk's leading (window) axis is placed sharded over
+    ``mesh_axis`` before the jitted update: the vmapped per-window
+    value_and_grad partitions with zero cross-window collectives, and the
+    executable is compiled once (identical shardings every chunk).
+    """
+    import time
+    from functools import partial
+
+    import optax
+
+    from ..core.params import zero_untrainable_grads
+
+    padded, nw, nc, pad = _chunk_plan(bank, window_chunk)
     optimizer = optax.adam(learning_rate)
     segment = max(1, min(segment, num_steps))
     lengths = [segment] * (num_steps // segment)
@@ -313,9 +367,7 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
     out_chunks, seg_times = [], []
     losses = np.zeros(num_steps)
     for ci in range(nc):
-        chunk = jax.tree_util.tree_map(
-            lambda x: jnp.array(x[ci * window_chunk:(ci + 1) * window_chunk]),
-            padded)
+        chunk = _take_chunk(padded, ci, window_chunk, mesh, mesh_axis)
         st = optimizer.init(chunk)
         lw_all = []
         for length in lengths:
@@ -328,16 +380,68 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
         if ci == nc - 1 and pad:
             lw_all = lw_all[:, :window_chunk - pad]
         losses += lw_all.sum(axis=1)
-        out_chunks.append(chunk)
+        out_chunks.append(jax.device_get(chunk))
 
     merged = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, 0)[:nw], *out_chunks)
+        lambda *xs: jnp.asarray(np.concatenate(xs, 0)[:nw]), *out_chunks)
     if timed:
         steady = (float(np.median(seg_times[1:]))
                   if len(seg_times) > 1 else 0.0)
         compile_s = max(seg_times[0] - steady, 0.0)
         run_s = sum(seg_times) - compile_s
         return merged, jnp.asarray(losses), (compile_s, run_s)
+    return merged, jnp.asarray(losses)
+
+
+def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
+                         mesh=None, mesh_axis: str = "w", timed: bool = False,
+                         memory_size: int = 20):
+    """One *independent* L-BFGS solver per window — vmapped zoom linesearch and
+    curvature memory, the jit-batched equivalent of the reference's sequential
+    per-window scipy L-BFGS-B (separation.py:289-298).  Chunking is exact
+    (windows never interact); with ``mesh`` each chunk shards its window axis.
+    Returns (bank, losses[, (compile_s, run_s)]) with losses the per-step
+    total over real windows."""
+    import time
+
+    from ..models.fit import lbfgs_solve
+
+    nw = jax.tree_util.tree_leaves(bank)[0].shape[0]
+    wc = window_chunk if window_chunk is not None else nw
+    if mesh is not None:
+        size = mesh.shape[mesh_axis]
+        wc = -(-wc // size) * size
+    wc = min(wc, nw) if mesh is None else wc
+    padded, nw, nc, pad = _chunk_plan(bank, wc)
+
+    @jax.jit
+    def solve(chunk):
+        return jax.vmap(
+            lambda m: lbfgs_solve(m, lambda mm: mm.loss(),
+                                  num_steps=num_steps,
+                                  memory_size=memory_size))(chunk)
+
+    out_chunks, chunk_times = [], []
+    losses = np.zeros(num_steps)
+    for ci in range(nc):
+        chunk = _take_chunk(padded, ci, wc, mesh, mesh_axis)
+        t0 = time.perf_counter()
+        chunk, lw = solve(chunk)
+        lw = np.asarray(lw)  # (wc, num_steps) host fence
+        chunk_times.append(time.perf_counter() - t0)
+        if ci == nc - 1 and pad:
+            lw = lw[: wc - pad]
+        losses += lw.sum(axis=0)
+        out_chunks.append(jax.device_get(chunk))
+
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.concatenate(xs, 0)[:nw]), *out_chunks)
+    if timed:
+        steady = (float(np.median(chunk_times[1:]))
+                  if len(chunk_times) > 1 else 0.0)
+        compile_s = max(chunk_times[0] - steady, 0.0)
+        return merged, jnp.asarray(losses), (compile_s,
+                                             sum(chunk_times) - compile_s)
     return merged, jnp.asarray(losses)
 
 

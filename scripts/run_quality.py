@@ -41,7 +41,7 @@ import numpy as np
 
 REF_WAV = "/root/reference/demos/data/011PFNOF_M60_train.wav"
 OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "QUALITY_r03.json")
+                        "QUALITY_r04.json")
 
 
 # ---------------------------------------------------------------- audio build
@@ -124,11 +124,16 @@ def run_real_audio(steps: int) -> dict:
         segment=max(1, min(500, steps // 2)))
     losses = np.asarray(losses)
 
-    # natural-gradient + Adam on the identical init (north star config)
+    # natural-gradient + Adam on the identical init (north star config).
+    # Round-4: best-state selection on the full-data ELBO at segment
+    # boundaries + a full-batch natgrad polish phase (round-3 VERDICT weak
+    # #4: the decaying minibatch schedule wandered away from a 61k optimum
+    # it had already found, ending below plain Adam).
     t0 = time.perf_counter()
-    ng_model, ng_losses = fit_natgrad_adam(
+    ng_model, ng_losses, ng_info = fit_natgrad_adam(
         model0, xj, yj, num_steps=steps, gamma=0.05, learning_rate=0.0025,
-        num_data=n, batch_fn=batch_fn, segment=min(500, steps))
+        num_data=n, batch_fn=batch_fn, segment=min(500, steps),
+        polish_steps=min(300, steps), polish_gamma=0.05, return_info=True)
     ng_losses = np.asarray(ng_losses)
     float(ng_losses[-1])
     ng_wall = time.perf_counter() - t0
@@ -158,9 +163,15 @@ def run_real_audio(steps: int) -> dict:
             "gamma": 0.05, "elbo_start": float(-ng_losses[0]),
             "elbo_at_adam_half": float(-ng_losses[min(steps // 2,
                                                       len(ng_losses) - 1)]),
-            "elbo_best": float(-np.min(ng_losses)),
-            "elbo_final": float(-ng_losses[-1]),
+            "elbo_best": float(-np.nanmin(ng_losses)),
+            "elbo_final": float(-ng_losses[np.isfinite(ng_losses)][-1]),
             "elbo_full_data": elbo_full_ng,
+            "n_skipped_steps": ng_info["n_skipped"],
+            "returned_state": ng_info["returned"],
+            "elbo_full_at_segments": [-v for v in
+                                      ng_info["full_loss_at_segments"]],
+            "polish": ng_info["polish"],
+            "beats_adam_full_data": bool(elbo_full_ng >= elbo_full_adam),
             "wall_s": round(ng_wall, 2),
             "steps_per_s": round(steps / ng_wall, 1)},
         "partials_hz": np.round(freqs, 1).tolist(),
@@ -188,8 +199,17 @@ def _plot_real_audio(x, y, results):
     plt.close(fig)
 
 
-def run_separation(maxiter: int, seconds: float = 14.0) -> dict:
-    """Workload 2: 14-s 3-source separation, ws=2001 (~223 windows)."""
+def run_separation(maxiter: int, seconds: float = 14.0,
+                   mesh_devices: int = 1, method: str = "adam") -> dict:
+    """Workload 2: 14-s 3-source separation, ws=2001 (~223 windows).
+
+    ``mesh_devices=1``: the optimize runs through the SHARDED pipeline path
+    (SoSp.optimize(mesh=...)) on a 1-device mesh — the same code a pod would
+    run, required to be zero-overhead vs the unsharded path (round-3 VERDICT
+    item 1 proof (b)).  ``method="lbfgs"`` runs the reference's actual
+    optimizer (scipy L-BFGS-B per window, separation.py:298) as vmapped
+    per-window L-BFGS (VERDICT item 7)."""
+    from gpitch_tpu.parallel import make_mesh
     from gpitch_tpu.pipelines import SoSp
 
     fs = 16000.0
@@ -214,10 +234,13 @@ def run_separation(maxiter: int, seconds: float = 14.0) -> dict:
                  fs=fs, mixture=(x, mix), window_size=2001,
                  kernel_mode="fft", max_par=5, num_inducing=112, dec=2)
     build_s = time.perf_counter() - t0
+    mesh = make_mesh(mesh_devices) if mesh_devices else None
     losses, (compile_s, run_s) = model.optimize(maxiter=maxiter,
-                                                learning_rate=0.01, timed=True)
+                                                learning_rate=0.01,
+                                                method=method, timed=True,
+                                                mesh=mesh)
     t0 = time.perf_counter()
-    model.predict_s(batch_size=8)
+    model.predict_s()
     predict_s_time = time.perf_counter() - t0
     rmse = model.compute_rmse(sources)
 
@@ -228,6 +251,7 @@ def run_separation(maxiter: int, seconds: float = 14.0) -> dict:
                     f"{model.nwin} windows (real MAPS note + pitch-shifted "
                     "copies; exact ground-truth tracks)",
         "num_windows": int(model.nwin), "maxiter": maxiter,
+        "optimizer": method, "mesh_devices": mesh_devices,
         "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
         "rmse": float(rmse),
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
@@ -284,7 +308,8 @@ def _amt_piece(seconds: float, fs: float):
 
 
 def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
-            dictionary: str = "sounding") -> dict:
+            dictionary: str = "sounding", reg: bool = False,
+            window_chunk: int | None = None, mesh_devices: int = 0) -> dict:
     """Workload 3: transcription @ 44.1 kHz with ground-truth pianoroll.
 
     ``dictionary="sounding"``: the model carries exactly the 8 sounding
@@ -294,14 +319,33 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
     also scores the 80 silent rows, so min-max-rescale thresholding would
     fabricate detections (round-2 VERDICT weak #4).
 
+    ``reg=True`` enables the reference's own sparsity device for exactly this
+    problem: the beta=1000 L1 penalty on per-pitch variances
+    (/root/reference/gpitch/sgpr_ss.py:17-27,64-68 -> models/sgpr.py).
+
+    Ground truth is round-tripped through a MAPS-style .txt annotation file
+    and parsed by ``read_note_table``/``Pianoroll(path=..., filename=...)``
+    (round-3 VERDICT item 10: the file parser must be exercised by a flagship
+    run, not only unit tests).
+
     Thresholds are fixed A PRIORI — mad (k=4) and minmax (0.1) — never chosen
     against ground truth.  The headline metric is the MAD rule.
     """
+    import tempfile
+
     from gpitch_tpu.audio.pianoroll import Pianoroll
     from gpitch_tpu.pipelines import AMT
 
     note_c, pitches, notes, events, mix, x = _amt_piece(seconds, fs)
-    roll = Pianoroll(fs=20, duration=seconds, notes=events)
+    # MAPS-format annotation round-trip (reference pianoroll.py:21-24 format)
+    tdir = tempfile.mkdtemp(prefix="maps_gt_")
+    with open(os.path.join(tdir, "quality_piece.txt"), "w") as fh:
+        fh.write("OnsetTime\tOffsetTime\tMidiPitch\n")
+        for on, off, p in events:
+            fh.write(f"{on:.6f}\t{off:.6f}\t{p}\n")
+    roll = Pianoroll(path=tdir, filename="quality_piece.wav", fs=20,
+                     duration=seconds)
+    assert roll.pitch_list == sorted({p for _, _, p in events})
 
     if dictionary == "piano88":
         model_pitches = list(range(21, 109))
@@ -312,30 +356,35 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
         model_pitches = pitches
         train = notes
 
+    mesh = None
+    if mesh_devices:
+        from gpitch_tpu.parallel import make_mesh
+        mesh = make_mesh(mesh_devices)
+
     t0 = time.perf_counter()
     model = AMT(train_signals=[train[p][: int(2 * fs)] for p in model_pitches],
                 train_names=[f"piano_M{p}_train.wav" for p in model_pitches],
                 fs=fs, test=(x, mix), pitches=model_pitches, window_size=2001,
                 kernel_mode="fft",
                 max_par=10 if dictionary == "sounding" else 8,
-                num_inducing=160, dec=3, pianoroll=roll)
+                num_inducing=160, dec=3, pianoroll=roll, reg=reg)
     build_s = time.perf_counter() - t0
+    if window_chunk is None:
+        window_chunk = 16 if dictionary == "piano88" else None
     losses, (compile_s, run_s) = model.optimize(
         maxiter=maxiter, learning_rate=0.01, timed=True,
-        window_chunk=16 if dictionary == "piano88" else None)
+        window_chunk=window_chunk, mesh=mesh)
     p_mad, r_mad, f_mad = model.evaluate(mode="mad", k=4.0)
     p_mm, r_mm, f_mm = model.evaluate(threshold=0.1)
 
-    if dictionary == "sounding":
-        _plot_amt(model, roll, pitches, seconds)
-    audio_s = len(mix) / fs
-    return {
+    out = {
         "workload": f"{seconds:.0f} s piece, 8 sounding pitches @ 44.1 kHz, "
                     f"ws=2001, {model.nwin} windows, "
                     f"{len(model_pitches)}-pitch dictionary (pitch-shifted "
-                    "real MAPS note; exact ground-truth pianoroll)",
+                    "real MAPS note; ground-truth pianoroll via MAPS .txt "
+                    "annotation round-trip)",
         "num_windows": int(model.nwin), "num_pitches": len(model_pitches),
-        "maxiter": maxiter,
+        "maxiter": maxiter, "reg_l1_variances": bool(reg),
         "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
         "threshold_rule": "mad k=4 (a priori; minmax 0.1 secondary)",
         "precision": round(p_mad, 4), "recall": round(r_mad, 4),
@@ -345,8 +394,25 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
                           "f_measure": round(f_mm, 4)},
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
         "build_s": round(build_s, 2),
-        "audio_seconds_per_s_optimize": round(audio_s / max(run_s, 1e-9), 3),
+        "window_chunk": window_chunk, "mesh_devices": mesh_devices,
+        "audio_seconds_per_s_optimize": round(
+            len(mix) / fs / max(run_s, 1e-9), 3),
     }
+    if dictionary == "piano88":
+        # the 80 silent rows are where sparsity matters: how much envelope
+        # mass and how many MAD-rule detections land on never-sounding pitches
+        est = model.pianoroll_estimate(mode="mad", k=4.0)
+        silent = np.asarray([p not in pitches for p in model_pitches])
+        out["silent_rows"] = {
+            "count": int(silent.sum()),
+            "false_detections": int(est[silent].sum()),
+            "detections_on_sounding": int(est[~silent].sum()),
+            "mean_var_silent": float(model.matrix_var[silent].mean()),
+            "mean_var_sounding": float(model.matrix_var[~silent].mean()),
+        }
+    if dictionary == "sounding":
+        _plot_amt(model, roll, pitches, seconds)
+    return out
 
 
 def _plot_amt(model, roll, pitches, seconds):
@@ -391,10 +457,12 @@ def _split_rhat(x) -> float:
 
 def run_hmc(num_samples: int = 200, num_warmup: int = 100,
             num_chains: int = 4) -> dict:
-    """Workload 4 (north star): HMC over the component-kernel hyperparameters
-    of the real-note ModGP fit — per-chain vectorized leapfrog, full-data
-    ELBO as the (unnormalized) log density, variational banks held at the
-    Adam-fitted posterior (models/hmc.py)."""
+    """Workload 4 (north star): HMC over the FULL component-kernel
+    hyperposterior of the real-note ModGP fit — lengthscale, variance, and
+    the 5 partial energies + 5 partial frequencies (12 parameters; round-3
+    VERDICT weak #7 sampled only 2) — per-chain vectorized leapfrog,
+    full-data ELBO as the (unnormalized) log density, variational banks held
+    at the Adam-fitted posterior (models/hmc.py)."""
     import jax
     import jax.numpy as jnp
     from gpitch_tpu.core.params import Param
@@ -409,22 +477,28 @@ def run_hmc(num_samples: int = 200, num_warmup: int = 100,
         batch_fn=minibatch_fn(xj, yj, 100), segment=500)
 
     kc = model.kern_com
+    sampled = ("lengthscales", "variance", "energy", "frequency")
 
     def substitute(leaves):
-        kc2 = kc.replace(
-            lengthscales=Param(leaves["ls_raw"], kc.lengthscales.transform,
-                               kc.lengthscales.trainable),
-            variance=Param(leaves["var_raw"], kc.variance.transform,
-                           kc.variance.trainable))
-        return model.replace(kern_com=kc2)
+        reps = {name: Param(leaves[name], getattr(kc, name).transform,
+                            getattr(kc, name).trainable)
+                for name in sampled}
+        return model.replace(kern_com=kc.replace(**reps))
+
+    # frequency raws are O(100) (Positive ~ softplus is ~identity there), so
+    # a shared N(0, 10^2) prior would pin them; scale each raw's prior to its
+    # init magnitude (a weakly-informative prior centered at the FFT init)
+    init = {name: jnp.asarray(getattr(kc, name).raw) for name in sampled}
+    prior_scale = {name: jnp.maximum(10.0, 0.25 * jnp.abs(init[name]))
+                   for name in sampled}
 
     def logprob(leaves):
-        prior = -0.5 * sum(jnp.sum(jnp.square(l / 10.0))
-                           for l in jax.tree_util.tree_leaves(leaves))
+        prior = -0.5 * sum(
+            jnp.sum(jnp.square((leaves[name] - init[name])
+                               / prior_scale[name]))
+            for name in sampled)
         return substitute(leaves).elbo(xj, yj, n) + prior
 
-    init = {"ls_raw": jnp.asarray(kc.lengthscales.raw),
-            "var_raw": jnp.asarray(kc.variance.raw)}
     t0 = time.perf_counter()
     samples, rates = hmc_sample(logprob, init, jax.random.PRNGKey(2),
                                 num_samples=num_samples,
@@ -433,27 +507,32 @@ def run_hmc(num_samples: int = 200, num_warmup: int = 100,
     rates = np.asarray(jax.device_get(rates))
     wall = time.perf_counter() - t0
 
-    ls = np.asarray(kc.lengthscales.transform.forward(
-        np.asarray(samples["ls_raw"], dtype=np.float64)))
-    var = np.asarray(kc.variance.transform.forward(
-        np.asarray(samples["var_raw"], dtype=np.float64)))
-    ls2 = ls.reshape(num_chains, num_samples, -1)
-    var2 = var.reshape(num_chains, num_samples, -1)
-    return {
-        "workload": "HMC over component-kernel hypers (lengthscale, variance) "
-                    "of the real-note ModGP fit; full-data ELBO target, "
+    out = {
+        "workload": "HMC over ALL component-kernel hypers (lengthscale, "
+                    "variance, 5 energies, 5 frequencies = 12 params) of the "
+                    "real-note ModGP fit; full-data ELBO target, "
                     f"{num_chains} vectorized chains",
         "num_chains": num_chains, "num_warmup": num_warmup,
         "num_samples": num_samples, "num_leapfrog": 8,
         "accept_rate": [round(float(r), 3) for r in rates],
-        "rhat_lengthscale": round(_split_rhat(ls2[..., 0]), 4),
-        "rhat_variance": round(_split_rhat(var2[..., 0]), 4),
-        "lengthscale_mean": float(ls2.mean()),
-        "lengthscale_sd": float(ls2.reshape(-1).std()),
-        "variance_mean": float(var2.mean()),
-        "variance_sd": float(var2.reshape(-1).std()),
         "wall_s": round(wall, 1),
     }
+    rhats = {}
+    for name in sampled:
+        tf = getattr(kc, name).transform
+        vals = np.asarray(tf.forward(np.asarray(samples[name],
+                                                dtype=np.float64)))
+        vals = vals.reshape(num_chains, num_samples, -1)
+        per_param = [round(_split_rhat(vals[..., j]), 4)
+                     for j in range(vals.shape[-1])]
+        rhats[name] = per_param
+        out[f"{name}_mean"] = [float(v) for v in
+                               np.round(vals.mean(axis=(0, 1)), 5)]
+        out[f"{name}_sd"] = [float(v) for v in
+                             np.round(vals.std(axis=(0, 1)), 6)]
+    out["rhat"] = rhats
+    out["rhat_max"] = max(v for r in rhats.values() for v in r)
+    return out
 
 
 def run_kernel_train(maxiter: int = 300, num_sam: int = 10000,
@@ -475,8 +554,10 @@ def run_kernel_train(maxiter: int = 300, num_sam: int = 10000,
     names = [f"piano_{k}_train.wav" for k in notes]
 
     t0 = time.perf_counter()
+    stage_timings: dict = {}
     params_train, kern_sampled = learn_pitch_params(
-        train, names, fs, mode="train", num_sam=num_sam, max_par=5)
+        train, names, fs, mode="train", num_sam=num_sam, max_par=5,
+        timings=stage_timings)
     learn_s = time.perf_counter() - t0
 
     # fit quality: RMSE between the sampled kernel and the fitted parametric
@@ -503,6 +584,7 @@ def run_kernel_train(maxiter: int = 300, num_sam: int = 10000,
                        f"{seconds:.0f}-s separation with the learned kernels "
                        "vs the fft-init kernels",
            "learn_s": round(learn_s, 2),
+           "stage_seconds": stage_timings,
            "lengthscales": [float(np.asarray(v)) for v in params_train[0]],
            "kernel_fit_rmse": [round(v, 4) for v in fit_rmse]}
     for mode, saved in (("train", params_train), ("fft", None)):
@@ -520,8 +602,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="shrunken sizes (smoke test)")
-    ap.add_argument("--only", choices=["real_audio", "separation", "amt",
-                                       "amt88_dict", "hmc", "kernel_train"],
+    ap.add_argument("--only", choices=["real_audio", "separation",
+                                       "separation_lbfgs", "amt",
+                                       "amt88_dict", "amt88_dict_reg", "hmc",
+                                       "kernel_train"],
                     default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness debugging)")
@@ -543,11 +627,18 @@ def main():
         "separation": lambda: run_separation(
             maxiter=40 if args.quick else 500,
             seconds=2.0 if args.quick else 14.0),
+        "separation_lbfgs": lambda: run_separation(
+            maxiter=20 if args.quick else 1000,
+            seconds=2.0 if args.quick else 14.0, method="lbfgs",
+            mesh_devices=0),
         "amt": lambda: run_amt(maxiter=40 if args.quick else 1500,
                                seconds=2.0 if args.quick else 10.0),
         "amt88_dict": lambda: run_amt(maxiter=40 if args.quick else 500,
                                       seconds=2.0 if args.quick else 10.0,
                                       dictionary="piano88"),
+        "amt88_dict_reg": lambda: run_amt(maxiter=40 if args.quick else 500,
+                                          seconds=2.0 if args.quick else 10.0,
+                                          dictionary="piano88", reg=True),
         "hmc": lambda: run_hmc(num_samples=20 if args.quick else 200,
                                num_warmup=10 if args.quick else 100,
                                num_chains=2 if args.quick else 4),

@@ -75,6 +75,29 @@ def test_hmc_gaussian_target():
     np.testing.assert_allclose(np.cov(th.T), np.asarray(cov), atol=0.2)
 
 
+def test_hmc_mass_adaptation_anisotropic():
+    """Diagonal mass adaptation must make a badly-scaled Gaussian (std 0.05
+    vs 20, a 400x scale ratio like frequency-vs-lengthscale raws) mix: with
+    an identity metric the step size is throttled by the stiff direction and
+    the loose one barely moves in 60 leapfrog steps."""
+    std = jnp.asarray([0.05, 20.0])
+    mean = jnp.asarray([2.0, -30.0])
+
+    def logprob(q):
+        return -0.5 * jnp.sum(jnp.square((q["theta"] - mean) / std))
+
+    init = {"theta": mean + jnp.asarray([0.1, 5.0])}
+    samples, rates = hmc_sample(logprob, init, jax.random.PRNGKey(3),
+                                num_samples=800, num_warmup=400,
+                                num_leapfrog=12, num_chains=4,
+                                jitter_init=0.01)
+    th = np.asarray(samples["theta"]).reshape(-1, 2)
+    assert float(np.min(rates)) > 0.5
+    err = np.abs(th.mean(0) - np.asarray(mean)) / np.asarray(std)
+    assert (err < 0.25).all(), err  # mean within 0.25 posterior sd per axis
+    np.testing.assert_allclose(th.std(0), np.asarray(std), rtol=0.35)
+
+
 def test_hmc_over_kernel_hypers():
     """Sample the component-kernel lengthscale raw of a tiny ModGP."""
     model = make_model(s=1, m=8)

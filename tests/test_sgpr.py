@@ -399,8 +399,13 @@ def test_fast_bank_build_matches_loop():
                    for i in range(nw)]).reshape(nw, ws, 1)
     yw = rng.standard_normal((nw, ws, 1)) * 0.2
     masks = (rng.uniform(size=(nw, ws)) > 0.2).astype(float)
-    masks[:, :4] = 1.0  # keep some valid points everywhere
-    z_list = [xw[i, ::7, 0].reshape(-1, 1)[:10 + i] for i in range(nw)]
+    masks[:, 40:44] = 1.0  # keep some valid points everywhere
+    # window 0: LEADING samples masked out, so the centering offset (min of
+    # the *valid* inputs) exceeds the true min and masked-out entries sit at
+    # negative grid indices — the lag-table span must be max-min, not max
+    # (round-3 ADVICE medium: a max-only span silently clamped gathers OOB)
+    masks[0, :8] = 0.0
+    z_list = [xw[i, 8::7, 0].reshape(-1, 1)[:10 + i] for i in range(nw)]
     z = pad_inducing(z_list, 14, grid_dt=1.0 / fs)
 
     def builder():
