@@ -138,12 +138,15 @@ def _bank_breakdown(bank):
             "forward_plus_grad_ms": round(step_s * 1e3, 3)}
 
 
-def run_separation_bank(maxiter=500, seconds=4.0):
+def run_separation_bank(maxiter=500, seconds=4.0, m=112, ws=2001,
+                        breakdown=True):
     """Windowed-SGPR separation bank: audio-seconds optimized per second.
 
     3 pitches, ws=2001, direct MXU feature-matmul covariance path — the
     compute core of the SoSp pipeline at reference window size
-    (separation.py:92-99).
+    (separation.py:92-99).  ``m``/``ws`` expose the round-2/3 MXU padding
+    hypothesis (M 112 -> 128, ws 2001 -> 2049: hop stays (ws-1)/2 integer);
+    see docs/ROOFLINE.md for the measured outcome.
     """
     from gpitch_tpu.audio import synth_piano_note
     from gpitch_tpu.audio.windowing import window_stack
@@ -153,23 +156,23 @@ def run_separation_bank(maxiter=500, seconds=4.0):
                                                     pad_inducing, sum_kernel)
     from gpitch_tpu.utils import midi2freq
 
-    fs, ws = 16000, 2001
-    sources = [synth_piano_note(fs=fs, seconds=seconds, f0=midi2freq(m),
-                                onset=o, noise=0.0, seed=m)[1]
-               for m, o in zip((60, 64, 67), (0.0, 0.9, 1.8))]
+    fs = 16000
+    sources = [synth_piano_note(fs=fs, seconds=seconds, f0=midi2freq(mm),
+                                onset=o, noise=0.0, seed=mm)[1]
+               for mm, o in zip((60, 64, 67), (0.0, 0.9, 1.8))]
     mix = sum(sources) / 3.0
     x = np.arange(mix.shape[0]).reshape(-1, 1) / fs
     xw, yw = window_stack(x, ws), window_stack(mix, ws)
     nw = xw.shape[0]
-    z = pad_inducing([xw[i, ::16][:112].reshape(-1, 1) for i in range(nw)],
-                     112, grid_dt=1.0 / fs)
+    z = pad_inducing([xw[i, ::16][:m].reshape(-1, 1) for i in range(nw)],
+                     m, grid_dt=1.0 / fs)
 
     def builder():
         return sum_kernel([
             MercerMatern12sm.create(1.0, 0.1,
                                     [1.0 / (k + 1) for k in range(5)],
-                                    [midi2freq(m) * (k + 1) for k in range(5)])
-            for m in (60, 64, 67)])
+                                    [midi2freq(mm) * (k + 1) for k in range(5)])
+            for mm in (60, 64, 67)])
 
     t0 = time.perf_counter()
     bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
@@ -178,13 +181,14 @@ def run_separation_bank(maxiter=500, seconds=4.0):
         bank, num_steps=maxiter, learning_rate=0.01, timed=True)
     float(np.asarray(losses)[-1])
     audio_s = mix.shape[0] / fs
-    out = {"audio_s": audio_s, "num_windows": int(nw), "maxiter": maxiter,
-           "build_s": round(build_s, 2),
+    out = {"audio_s": audio_s, "num_windows": int(nw), "M": m, "ws": ws,
+           "maxiter": maxiter, "build_s": round(build_s, 2),
            "compile_s": round(compile_s, 1), "optimize_s": round(run_s, 2),
            "audio_s_per_s": round(audio_s / run_s, 2),
            "steps_per_s": round(maxiter / run_s, 1)}
-    out.update(_bank_step_report(int(nw), ws, 112, 3, 5, run_s / maxiter))
-    out["breakdown"] = _bank_breakdown(bank)
+    out.update(_bank_step_report(int(nw), ws, m, 3, 5, run_s / maxiter))
+    if breakdown:
+        out["breakdown"] = _bank_breakdown(bank)
     return out
 
 
@@ -250,13 +254,21 @@ CPU_TF_SGPR_WINDOW_STEPS_PER_S = 18.1
 
 def main():
     import jax
+    from gpitch_tpu.config import enable_persistent_compilation_cache
     from gpitch_tpu.utils.profiling import flops_svgp_step, utilization_report
+
+    # production compile hygiene: identical bank programs are compiled by
+    # every process; the on-disk XLA cache makes re-runs load in ~1 s.
+    # compile_s fields below are honest first-compile numbers only when the
+    # cache is cold — the flag records which.
+    cache_dir = enable_persistent_compilation_cache()
 
     default = jax.default_backend()
     steps_per_s, final_loss = run_svgp(default, num_steps=2000)
 
     vs = steps_per_s / CPU_TF_SVGP_STEPS_PER_S
-    extras = {"vs_baseline_note":
+    extras = {"compilation_cache": cache_dir,
+              "vs_baseline_note":
               "vs measured reference-equivalent CPU TF baseline "
               "(scripts/baseline_cpu_tf.py: same TF ops/f64/per-partial "
               "loops the reference delegates to; gpflow itself not "
@@ -284,6 +296,15 @@ def main():
             / CPU_TF_SGPR_WINDOW_STEPS_PER_S, 1)
     except Exception as e:  # pragma: no cover
         extras["separation"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        # the round-2/3 MXU-padding hypothesis, measured every round:
+        # M 112->128 fills the last MXU tile, ws 2001->2049 (hop stays
+        # integer) crosses the 2048 lane boundary
+        extras["separation_pad_m128_ws2049"] = run_separation_bank(
+            m=128, ws=2049, breakdown=False)
+    except Exception as e:  # pragma: no cover
+        extras["separation_pad_m128_ws2049"] = {
+            "error": f"{type(e).__name__}: {e}"}
     try:
         extras["amt88"] = run_amt88_bank()
     except Exception as e:  # pragma: no cover

@@ -20,9 +20,28 @@ __all__ = [
     "set_jitter",
     "use_pallas_specmix",
     "set_pallas_specmix",
+    "enable_persistent_compilation_cache",
     "NumericsConfig",
     "init_settings",
 ]
+
+
+def enable_persistent_compilation_cache(path: str = "/tmp/gpitch_jax_cache",
+                                        min_compile_time: float = 1.0) -> str:
+    """Turn on XLA's on-disk executable cache (jax persistent compilation
+    cache).
+
+    Windowed-bank programs compile for tens of seconds (the 88-pitch AMT
+    chunk measured 94 s in round 3) and are recompiled identically by every
+    quality/bench process; caching them is the standard production answer —
+    a re-run of the same pipeline loads the executable in ~1 s.  Safe to call
+    more than once.  Returns the cache directory."""
+    import os
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time)
+    return path
 
 
 def init_settings(visible_device: str | None = None, interactive: bool = False,

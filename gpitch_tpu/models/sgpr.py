@@ -344,13 +344,21 @@ class SGPRSS(SGPR):
     """
 
     def predict_s(self, Xnew, pre_centered: bool = False,
-                  source_batch: int = 8):
+                  source_batch: int = 8, xnew_is_x: bool = False):
         """[(N,1) means], [(N,1) vars] per source — sgpr_ss.py:92-106.
 
         ``source_batch``: sources are processed in chunks of this size
         (lax.map over chunks, vmap inside), bounding peak memory at
         (source_batch, N, Nnew) — at AMT's 88 pitches the unchunked batch is
         a 1.4 GB intermediate per window.
+
+        ``xnew_is_x``: caller asserts Xnew IS the training input x (the
+        pipeline case: windows predict at their own samples for overlap-add).
+        Then the per-source cross-covariances K_i(x, Xnew) = K_i(x, x) are
+        built ONCE and summed for the full Gram kxx instead of building the
+        Grams twice — this path is HBM-bandwidth-bound on (N, N) buffers
+        (docs/ROOFLINE.md), so saving a build pass is a real win.  Only taken
+        when all sources fit one chunk (the buffers must stay live).
 
         All covariances are built directly (cos-feature matmul on the MXU)
         unless ``lag_table=True``: X/Z are stored centered so the f32 build is
@@ -364,7 +372,16 @@ class SGPRSS(SGPR):
             Xnew = (Xnew - self.x0.value) - self.x0_lo.value
         x, y = self.X.value, self.Y.value
         sigma2 = self.variance.value
-        if self.lag_table:
+        stacked = getattr(self.kern, "stacked", None)
+        s = self.kern.num_terms if stacked is not None else None
+        reuse = (xnew_is_x and not self.lag_table and stacked is not None
+                 and s <= source_batch)
+
+        kis = None
+        if reuse:
+            kis = jax.vmap(lambda k: k.K(x, Xnew))(stacked)  # (S, N, N)
+            kxx = jnp.sum(kis, axis=0)
+        elif self.lag_table:
             t0 = self._grid_t0()
             ix = self._grid_index(x[:, 0], t0)
             kxx = self._lag_table()[jnp.abs(ix[:, None] - ix[None, :])]
@@ -389,14 +406,15 @@ class SGPRSS(SGPR):
             svar = kdiag_i - jnp.sum(jnp.square(A), 0)
             return mean, svar
 
-        stacked = getattr(self.kern, "stacked", None)
         if stacked is not None:  # StackedSum bank
-            s = self.kern.num_terms
             kdiags = self.kern.Kdiag_terms(Xnew)             # (S, Nnew)
-            mean, svar = _source_chunked(
-                lambda chunk, kd: jax.vmap(finish)(
-                    jax.vmap(lambda k: k.K(x, Xnew))(chunk[0]), kd),
-                (stacked,), kdiags, s, source_batch)
+            if reuse:
+                mean, svar = jax.vmap(finish)(kis, kdiags)
+            else:
+                mean, svar = _source_chunked(
+                    lambda chunk, kd: jax.vmap(finish)(
+                        jax.vmap(lambda k: k.K(x, Xnew))(chunk[0]), kd),
+                    (stacked,), kdiags, s, source_batch)
             return ([mean[i] for i in range(s)],
                     [svar[i][:, None] for i in range(s)])
 

@@ -146,10 +146,20 @@ def _kernelfit_runner(num_steps: int, psize: int, xsize: int, dtype: str):
     return run
 
 
-def fit_kernel(kern, audio, file_name, max_par: int, fs: float, num_steps: int = 250):
+def fit_kernel(kern, audio, file_name, max_par: int, fs: float,
+               num_steps: int = 250, device: str | None = "cpu"):
     """Mirror of kernelfit.fit (kernelfit.py:61-87): init (f, v) from the FFT,
     minimize RMSE to the sampled kernel, return [lengthscale, variances,
-    frequencies] plus the initial/fitted kernels."""
+    frequencies] plus the initial/fitted kernels.
+
+    ``device="cpu"`` pins the solve to the host backend (data-local compute,
+    same rationale as ``sample_cov``): the objective touches ~5 KB of data
+    and ~12 parameters, so the zoom-linesearch while-loops are pure latency —
+    a relayed TPU executes those tiny sequential ops orders of magnitude
+    slower than the host core that already holds the sampled kernel.  Pass
+    ``device=None`` to use the default backend."""
+    import contextlib
+
     kern = np.asarray(kern).reshape(-1)
     n = kern.size
     xkern = np.linspace(0.0, (n - 1.0) / fs, n)
@@ -157,14 +167,21 @@ def fit_kernel(kern, audio, file_name, max_par: int, fs: float, num_steps: int =
     if0 = find_ideal_f0([file_name])[0]
     init_f, init_v = init_cparam(np.asarray(audio).reshape(-1), fs=fs, maxh=max_par,
                                  ideal_f0=if0, scaled=False)[0:2]
-    p0 = jnp.asarray(np.hstack([[0.0, 1.0], init_v, init_f]))
 
-    target = jnp.asarray(kern)
-    xj = jnp.asarray(xkern)
-    run = _kernelfit_runner(num_steps, int(p0.shape[0]), int(xj.shape[0]),
-                            str(p0.dtype))
-    pstar, losses = run(p0, xj, target)
-    pstar = jnp.sqrt(jnp.square(pstar))  # kernelfit.py:57
+    ctx = contextlib.nullcontext()
+    if device is not None:
+        try:
+            ctx = jax.default_device(jax.devices(device)[0])
+        except RuntimeError:
+            pass
+    with ctx:
+        p0 = jnp.asarray(np.hstack([[0.0, 1.0], init_v, init_f]))
+        target = jnp.asarray(kern)
+        xj = jnp.asarray(xkern)
+        run = _kernelfit_runner(num_steps, int(p0.shape[0]), int(xj.shape[0]),
+                                str(p0.dtype))
+        pstar, losses = run(p0, xj, target)
+        pstar = jnp.sqrt(jnp.square(pstar))  # kernelfit.py:57
 
     npartials = (pstar.shape[0] - 2) // 2
     params = [np.asarray(pstar[1]),

@@ -483,13 +483,21 @@ def predict_bank_sources(bank, x_windows, batch_size: int = 8, y_scale: float = 
     """Per-window per-source posteriors: (smean, svar) each (S, nw, ws).
 
     Equivalent of the per-window model.predict_s calls (separation.py:311-313),
-    memory-bounded by chunking.
+    memory-bounded by chunking.  When the prediction points ARE the windows'
+    own samples (the overlap-add pipeline case — detected exactly on the
+    host), the per-source Grams are built once and reused for the full-data
+    Gram (SGPRSS.predict_s ``xnew_is_x``), saving one (N, N)-per-source HBM
+    pass on a bandwidth-bound path.
     """
     xw = _centered_windows(bank, x_windows)
+    at_x = bool(np.allclose(np.asarray(xw),
+                            np.asarray(bank.X.value)[..., 0],
+                            rtol=0.0, atol=0.0))
 
     def one(args):
         m, x = args
-        means, variances = m.predict_s(x.reshape(-1, 1), pre_centered=True)
+        means, variances = m.predict_s(x.reshape(-1, 1), pre_centered=True,
+                                       xnew_is_x=at_x)
         return (jnp.stack([mm[:, 0] for mm in means]),
                 jnp.stack([vv[:, 0] for vv in variances]))
 

@@ -68,19 +68,6 @@ def main():
     bank, xw = build_bank(args.nw)
     nw, ws = xw.shape[0], xw.shape[1]
 
-    # ---- end-to-end predict at several window batch sizes -------------------
-    for bs in (8, 16, 32, 64):
-        t0 = time.perf_counter()
-        sm, sv = predict_bank_sources(bank, xw, batch_size=bs)
-        float(jnp.sum(sm))  # host fence
-        first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sm, sv = predict_bank_sources(bank, xw, batch_size=bs)
-        float(jnp.sum(sm))
-        second = time.perf_counter() - t0
-        print(f"predict_bank_sources bs={bs:3d}: first={first:7.2f}s "
-              f"steady={second:7.2f}s", flush=True)
-
     # ---- stage costs on one window batch ------------------------------------
     def chunk(bs):
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x[:bs]), bank)
@@ -127,6 +114,19 @@ def main():
                         ("tri_solve vs K", t_solve)):
             print(f"  {name:22s} {t * 1e3:9.1f} ms/chunk "
                   f"-> {t * n_chunks:6.2f} s total", flush=True)
+
+    # ---- end-to-end predict at two window batch sizes -----------------------
+    for bs in (8, 32):
+        t0 = time.perf_counter()
+        sm, sv = predict_bank_sources(bank, xw, batch_size=bs)
+        float(jnp.sum(sm))  # host fence
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sm, sv = predict_bank_sources(bank, xw, batch_size=bs)
+        float(jnp.sum(sm))
+        second = time.perf_counter() - t0
+        print(f"predict_bank_sources bs={bs:3d}: first={first:7.2f}s "
+              f"steady={second:7.2f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -371,9 +371,28 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
     build_s = time.perf_counter() - t0
     if window_chunk is None:
         window_chunk = 16 if dictionary == "piano88" else None
-    losses, (compile_s, run_s) = model.optimize(
-        maxiter=maxiter, learning_rate=0.01, timed=True,
-        window_chunk=window_chunk, mesh=mesh)
+    # staged optimization: evaluate F at 1/3 of the budget and at the full
+    # budget (fresh Adam state per stage — a restart schedule).  The early
+    # checkpoint is the evidence for the throughput operating point: if
+    # F(maxiter/3) ~ F(maxiter), audio-s/s at equal quality is 3x the
+    # full-budget number (round-3 VERDICT weak #3).
+    stages = [max(1, maxiter // 3), maxiter - max(1, maxiter // 3)]
+    losses_all, stage_evals = [], []
+    compile_s = run_s = 0.0
+    for cum, st_steps in zip(np.cumsum(stages), stages):
+        losses, (c_s, r_s) = model.optimize(
+            maxiter=int(st_steps), learning_rate=0.01, timed=True,
+            window_chunk=window_chunk, mesh=mesh)
+        losses_all.append(np.asarray(losses))
+        compile_s += c_s
+        run_s += r_s
+        p_i, r_i, f_i = model.evaluate(mode="mad", k=4.0)
+        stage_evals.append({"steps": int(cum),
+                            "f_measure": round(f_i, 4),
+                            "precision": round(p_i, 4),
+                            "recall": round(r_i, 4),
+                            "optimize_s_cum": round(run_s, 2)})
+    losses = np.concatenate(losses_all)
     p_mad, r_mad, f_mad = model.evaluate(mode="mad", k=4.0)
     p_mm, r_mm, f_mm = model.evaluate(threshold=0.1)
 
@@ -389,6 +408,7 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
         "threshold_rule": "mad k=4 (a priori; minmax 0.1 secondary)",
         "precision": round(p_mad, 4), "recall": round(r_mad, 4),
         "f_measure": round(f_mad, 4),
+        "stage_evals": stage_evals,
         "minmax_thr0.1": {"precision": round(p_mm, 4),
                           "recall": round(r_mm, 4),
                           "f_measure": round(f_mm, 4)},
@@ -615,11 +635,14 @@ def main():
     if args.cpu:
         # config update beats the env var (axon sitecustomize force-registers)
         jax.config.update("jax_platforms", "cpu")
+    from gpitch_tpu.config import enable_persistent_compilation_cache
+    cache_dir = enable_persistent_compilation_cache()
     # provenance is stored PER JOB (ADVICE round 2: a later --cpu/--only run
     # must not relabel stale sections from a different backend)
     provenance = {"backend": jax.default_backend(),
                   "device": jax.devices()[0].device_kind,
-                  "x64": bool(jax.config.jax_enable_x64)}
+                  "x64": bool(jax.config.jax_enable_x64),
+                  "compilation_cache": cache_dir}
     report = {}
 
     jobs = {

@@ -158,3 +158,38 @@ def test_safe_cholesky_jitter():
     K = jnp.zeros((4, 4))
     L = safe_cholesky(K, 1e-3)
     np.testing.assert_allclose(L, np.sqrt(1e-3) * np.eye(4), rtol=1e-6)
+
+
+def test_tri_inv_blocked_matches_solve(rng):
+    """Blocked-GEMM triangular inverse == solve_triangular(L, I), including
+    odd sizes that need the identity-tail padding (2001 is the production
+    window size) and sizes below one block."""
+    from gpitch_tpu.linalg.ops import tri_inv_blocked
+
+    for n, block in ((5, 4), (64, 16), (130, 32), (257, 64), (501, 128)):
+        A = rng.standard_normal((n, n)) * 0.3 + np.eye(n) * 2.0
+        L = jnp.asarray(np.linalg.cholesky(A @ A.T + n * np.eye(n)))
+        want = np.asarray(jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True))
+        got = np.asarray(tri_inv_blocked(L, block=block))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+        # strictly lower-triangular result (upper exactly zero)
+        np.testing.assert_allclose(got, np.tril(got), atol=0.0)
+
+
+def test_chol_inv_blocked_threshold(rng):
+    """chol_inv must give identical results through the blocked path."""
+    import gpitch_tpu.linalg.ops as ops
+
+    n = 70
+    A = rng.standard_normal((n, n)) * 0.3
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    L0, Li0 = ops.chol_inv(K)
+    old = ops._TRI_INV_BLOCK_MIN
+    try:
+        ops._TRI_INV_BLOCK_MIN = 1  # force the blocked path
+        L1, Li1 = ops.chol_inv(K)
+    finally:
+        ops._TRI_INV_BLOCK_MIN = old
+    np.testing.assert_allclose(np.asarray(Li1), np.asarray(Li0), rtol=2e-6,
+                               atol=1e-7)

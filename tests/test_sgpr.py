@@ -462,3 +462,44 @@ def test_optimize_bank_window_chunk_exact():
                     jax.tree_util.tree_leaves(b2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_predict_s_gram_reuse_matches():
+    """predict_s(xnew_is_x=True) (Gram-reuse fast path) must equal the
+    general path when Xnew == X, and predict_bank_sources must auto-detect
+    the at-x case."""
+    from gpitch_tpu.kernels import Matern12sm
+    from gpitch_tpu.models.sgpr import SGPRSS
+    from gpitch_tpu.pipelines.windowed_sgpr import (build_window_bank,
+                                                    pad_inducing,
+                                                    predict_bank_sources,
+                                                    sum_kernel)
+
+    fs = 16000.0
+    ws, nw = 96, 3
+    rng = np.random.default_rng(11)
+    xw = np.stack([(np.arange(ws) + i * ws // 2) / fs
+                   for i in range(nw)]).reshape(nw, ws, 1)
+    yw = rng.standard_normal((nw, ws, 1)) * 0.2
+    z = pad_inducing([xw[i, ::9, 0].reshape(-1, 1) for i in range(nw)], 11,
+                     grid_dt=1.0 / fs)
+
+    def builder():
+        return sum_kernel([Matern12sm.create(1.0, 0.05, [1.0],
+                                             [220.0 * (i + 1)])
+                           for i in range(3)])
+
+    bank = build_window_bank(xw, yw, z, builder, grid_dt=1.0 / fs)
+    one = jax.tree_util.tree_map(lambda a: a[0], bank)
+    x = one.X.value
+    m_gen, v_gen = one.predict_s(x, pre_centered=True, xnew_is_x=False)
+    m_fast, v_fast = one.predict_s(x, pre_centered=True, xnew_is_x=True)
+    for a, b in zip(m_gen + v_gen, m_fast + v_fast):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-8)
+
+    sm, sv = predict_bank_sources(bank, xw)
+    np.testing.assert_allclose(np.asarray(sm[:, 0, :]),
+                               np.asarray(jnp.stack(
+                                   [mm[:, 0] for mm in m_gen])),
+                               rtol=1e-6, atol=1e-8)
