@@ -10,9 +10,24 @@ everything below follows automatically.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
+
+# GP linear algebra at bf16 matmul precision is unsafe: JAX's TPU default
+# multiplies f32 operands at bf16 precision, which put ~0.8% relative error
+# on the collapsed bound at quality shapes (f64-arbitrated, round 4) and can
+# flip near-singular Cholesky pivots negative.  Measured on v5e at quality
+# shapes (collapsed-bound rel err vs f64 / AMT-bank grad step):
+#   bfloat16 (jax TPU default)  7.7e-3   49.0 ms
+#   high     (bf16_3x)          6.7e-5   53.3 ms   <- gpitch_tpu default
+#   highest  (f32-equivalent)   3.6e-5   75.1 ms
+# "high" restores f32-grade accuracy for ~9% step cost; opt out or up with
+# GPITCH_TPU_MATMUL_PRECISION={default,high,highest}.
+_prec = os.environ.get("GPITCH_TPU_MATMUL_PRECISION", "high")
+if _prec != "default":
+    jax.config.update("jax_default_matmul_precision", _prec)
 
 __all__ = [
     "default_float",
@@ -20,6 +35,8 @@ __all__ = [
     "set_jitter",
     "use_pallas_specmix",
     "set_pallas_specmix",
+    "use_pallas_chol",
+    "set_pallas_chol",
     "enable_persistent_compilation_cache",
     "NumericsConfig",
     "init_settings",
@@ -81,6 +98,25 @@ def use_pallas_specmix() -> bool:
 
 def set_pallas_specmix(enabled: bool) -> None:
     _PALLAS_SPECMIX["value"] = bool(enabled)
+
+
+_PALLAS_CHOL = {"value": True}
+
+
+def use_pallas_chol() -> bool:
+    """Whether ``linalg.chol_inv`` factorizes small batched matrices with the
+    lanes-batched Pallas Cholesky (linalg/pallas/chol.py) on TPU.
+
+    Default True: XLA's blocked-panel cholesky is latency-bound at gpitch's
+    bank shapes (hundreds of M ~ 112-160 matrices per step); the Pallas
+    kernel keeps a tile of matrices in VMEM and fills the vector lanes with
+    the batch (measured on v5e, see docs/ROOFLINE.md).  Only consulted on the
+    TPU backend for M <= 256."""
+    return _PALLAS_CHOL["value"]
+
+
+def set_pallas_chol(enabled: bool) -> None:
+    _PALLAS_CHOL["value"] = bool(enabled)
 
 
 def default_jitter() -> float:

@@ -102,20 +102,40 @@ def tri_inv_blocked(L, block: int = 256):
     return X[0][:n, :n]
 
 
-# triangular inverses at or above this size use the blocked-GEMM path inside
-# chol_inv (below it, XLA's native solve has lower latency)
+# triangular inverses at or above this size always use the blocked-GEMM path
+# inside chol_inv; below it the blocked path is used on TPU only (measured on
+# v5e at bank shapes: (439,160,160) XLA solve 11.0 ms vs blocked 5.6 ms;
+# (222,112,112) 3.3 ms vs 1.5 ms — XLA's sequential panel solve is
+# latency-bound even at small M, docs/ROOFLINE.md) — on CPU LAPACK wins
 _TRI_INV_BLOCK_MIN = 1024
 
 
 def _tri_inv(L):
     n = L.shape[-1]
-    if n >= _TRI_INV_BLOCK_MIN:
-        f = tri_inv_blocked
+    on_tpu = jax.default_backend() == "tpu"
+    if n >= _TRI_INV_BLOCK_MIN or (on_tpu and n > 32):
+        block = 32 if n <= 512 else 256
+        f = lambda x: tri_inv_blocked(x, block=block)
         for _ in range(L.ndim - 2):
             f = jax.vmap(f)
         return f(L)
     eye = jnp.eye(n, dtype=L.dtype)
     return jsl.solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
+
+
+def _cholesky(K):
+    """jnp.linalg.cholesky, or the lanes-batched Pallas kernel on TPU when
+    enabled (config.set_pallas_chol) — see linalg/pallas/chol.py."""
+    from ..config import use_pallas_chol
+    if (use_pallas_chol() and K.shape[-1] <= 256
+            and jax.default_backend() == "tpu"):
+        from .pallas.chol import cholesky_batched, pallas_chol_single
+        if K.ndim == 2:
+            return pallas_chol_single(K)
+        lead = K.shape[:-2]
+        out = cholesky_batched(K.reshape((-1,) + K.shape[-2:]))
+        return out.reshape(lead + K.shape[-2:])
+    return jnp.linalg.cholesky(K)
 
 
 @jax.custom_vjp
@@ -131,7 +151,7 @@ def chol_inv(K):
     pullback is Linv^T Phi(L^T L_bar) Linv; with Linv in hand no triangular
     solve appears anywhere in the VJP).  Batched over leading axes.
     """
-    L = jnp.linalg.cholesky(K)
+    L = _cholesky(K)
     return L, _tri_inv(L)
 
 

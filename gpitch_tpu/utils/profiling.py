@@ -49,11 +49,15 @@ class Timer:
 
     @staticmethod
     def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
-        """Median seconds per call of a jitted fn (blocks via tree leaves)."""
+        """Median seconds per call of a jitted fn.
+
+        Fences via a one-element host read per output leaf (a dependent
+        transfer) — NOT block_until_ready, which relayed TPU runtimes can
+        satisfy before execution finishes."""
         def block(out):
             for leaf in jax.tree_util.tree_leaves(out):
-                if hasattr(leaf, "block_until_ready"):
-                    leaf.block_until_ready()
+                if hasattr(leaf, "ndim"):
+                    np.asarray(leaf[(0,) * leaf.ndim])
         for _ in range(warmup):
             block(fn(*args))
         times = []
@@ -95,12 +99,15 @@ class Timer:
 
         run = jax.jit(loop)
         zero = jnp.float32(0.0)
+        # fence with a HOST READ of the dependent scalar, never
+        # block_until_ready: relayed (tunneled) TPU runtimes can mark buffers
+        # ready before execution finishes, silently timing nothing
         for _ in range(warmup):
-            run(zero).block_until_ready()
+            float(run(zero))
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            run(zero).block_until_ready()
+            float(run(zero))
             times.append(time.perf_counter() - t0)
         return float(np.median(times)) / loop_iters
 

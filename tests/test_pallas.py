@@ -32,3 +32,20 @@ def test_specmix_matches_kernel_class(rng):
                          tile_n=128, tile_m=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(kern.K(x)),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_cholesky_batched_matches_xla():
+    """Lanes-batched Pallas Cholesky == jnp.linalg.cholesky (interpret mode
+    on CPU), including batch padding (B not a multiple of the tile) and the
+    production M=112/160 sizes."""
+    from gpitch_tpu.linalg.pallas.chol import cholesky_batched
+
+    rng = np.random.default_rng(5)
+    for b, m, bt in ((5, 24, 4), (3, 112, 2), (2, 160, 2)):
+        A = rng.standard_normal((b, m, m)).astype(np.float32) * 0.2
+        K = jnp.asarray(A @ np.swapaxes(A, 1, 2)
+                        + np.eye(m, dtype=np.float32) * m)
+        want = np.asarray(jnp.linalg.cholesky(K))
+        got = np.asarray(cholesky_batched(K, batch_tile=bt, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(got, np.tril(got), atol=0.0)
