@@ -100,7 +100,7 @@ def set_pallas_specmix(enabled: bool) -> None:
     _PALLAS_SPECMIX["value"] = bool(enabled)
 
 
-_PALLAS_CHOL = {"value": True}
+_PALLAS_CHOL = {"value": os.environ.get("GPITCH_TPU_PALLAS_CHOL", "1") != "0"}
 
 
 def use_pallas_chol() -> bool:

@@ -345,22 +345,24 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
         lengths.append(num_steps % segment)
 
     def make_run(length):
-        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
-        def run(model, opt_state, _length):
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+        def run(model, opt_state, wmask, _length):
             def body(carry, _):
                 m, st = carry
                 # per-window value_and_grad: each window's loss depends only
-                # on its own slice, so the vmapped grads ARE the bank grads —
-                # and the per-window losses let pad-window contributions be
-                # excluded exactly on the host
+                # on its own slice, so the vmapped grads ARE the bank grads;
+                # wmask (1 real / 0 pad window) reduces the per-window losses
+                # to ONE scalar per step in-graph — pad contributions drop
+                # exactly and the loss trace transfer is O(steps), not
+                # O(steps x windows)
                 lw, grads = jax.vmap(
                     jax.value_and_grad(lambda mm: mm.loss()))(m)
                 grads = zero_untrainable_grads(grads)
                 updates, st = optimizer.update(grads, st, m)
-                return (optax.apply_updates(m, updates), st), lw
-            (m, st), lw = jax.lax.scan(body, (model, opt_state), None,
+                return (optax.apply_updates(m, updates), st), jnp.dot(lw, wmask)
+            (m, st), ls = jax.lax.scan(body, (model, opt_state), None,
                                        length=_length)
-            return m, st, lw
+            return m, st, ls
         return run
 
     run = make_run(None)
@@ -368,18 +370,22 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
     losses = np.zeros(num_steps)
     for ci in range(nc):
         chunk = _take_chunk(padded, ci, window_chunk, mesh, mesh_axis)
+        wmask = np.ones(window_chunk, dtype=np.float32)
+        if ci == nc - 1 and pad:
+            wmask[window_chunk - pad:] = 0.0
+        wmask = jnp.asarray(wmask)
+        if mesh is not None:
+            from ..parallel.mesh import shard_leading_axis
+            wmask = shard_leading_axis(wmask, mesh, mesh_axis)
         st = optimizer.init(chunk)
-        lw_all = []
+        ls_all = []
         for length in lengths:
             t0 = time.perf_counter()
-            chunk, st, lw = run(chunk, st, length)
-            lw = np.asarray(lw)  # host fence
+            chunk, st, ls = run(chunk, st, wmask, length)
+            ls = np.asarray(ls)  # host fence
             seg_times.append(time.perf_counter() - t0)
-            lw_all.append(lw)
-        lw_all = np.concatenate(lw_all, axis=0)  # (num_steps, window_chunk)
-        if ci == nc - 1 and pad:
-            lw_all = lw_all[:, :window_chunk - pad]
-        losses += lw_all.sum(axis=1)
+            ls_all.append(ls)
+        losses += np.concatenate(ls_all, axis=0)
         out_chunks.append(jax.device_get(chunk))
 
     merged = jax.tree_util.tree_map(

@@ -160,6 +160,38 @@ def flops_svgp_step(n_batch: int, m: int, s: int, p: int, h: int = 20) -> int:
 # peak f32 MXU throughput per chip (rough public numbers)
 PEAK_FLOPS = {"tpu v5 lite": 394e12 / 2, "tpu v4": 275e12 / 2, "cpu": 1e11}
 
+# HBM bandwidth per chip (public numbers)
+PEAK_BW = {"tpu v5 lite": 819e9, "tpu v4": 1200e9, "cpu": 5e10}
+
+
+def bank_step_bytes(nw: int, n: int, m: int, s: int) -> int:
+    """HBM traffic model for one bank loss+grad step: the dominant buffers
+    are the kuf-shaped (S, M, N) covariance blocks per window — ~3 passes
+    forward (build write, A-chain read, AAT read) and ~2x that backward
+    (docs/ROOFLINE.md section 1)."""
+    kuf = s * m * n * 4
+    return nw * kuf * 9
+
+
+def achievable_report(flops_per_step: int, bytes_per_step: int,
+                      seconds_per_step: float,
+                      device_kind: str | None = None) -> dict:
+    """Roofline 'achievable' utilization: the step's floor time is
+    max(bytes/BW, flops/peak); mfu_achievable = floor / measured — how close
+    the step runs to ITS OWN roofline, not to the chip's peak FLOPs (the
+    bank workloads are memory-bound, so peak-FLOPs MFU is structurally tiny;
+    docs/ROOFLINE.md section 2)."""
+    kind = (device_kind or jax.devices()[0].device_kind).lower()
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), 1e12)
+    bw = next((v for k, v in PEAK_BW.items() if k in kind), 1e11)
+    t_bw = bytes_per_step / bw
+    t_fl = flops_per_step / peak
+    floor = max(t_bw, t_fl)
+    return {"t_bandwidth_floor_ms": round(t_bw * 1e3, 3),
+            "t_flops_floor_ms": round(t_fl * 1e3, 3),
+            "bound": "bandwidth" if t_bw >= t_fl else "flops",
+            "mfu_achievable": round(floor / seconds_per_step, 4)}
+
 
 def utilization_report(flops_per_step: int, seconds_per_step: float,
                        device_kind: str | None = None) -> dict:

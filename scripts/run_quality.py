@@ -239,6 +239,22 @@ def run_separation(maxiter: int, seconds: float = 14.0,
                                                 learning_rate=0.01,
                                                 method=method, timed=True,
                                                 mesh=mesh)
+    unsharded_s = None
+    if mesh is not None:
+        # zero-overhead proof (round-3 VERDICT item 1b): the same optimize
+        # through the plain (unsharded) path, steady-state comparison
+        model2 = SoSp(train_signals=[notes[k][: int(2 * fs)] for k in notes],
+                      train_names=[f"piano_{k}_train.wav" for k in notes],
+                      fs=fs, mixture=(x, mix), window_size=2001,
+                      kernel_mode="fft", max_par=5, num_inducing=112, dec=2)
+        _, (_, unsharded_s) = model2.optimize(maxiter=maxiter,
+                                              learning_rate=0.01,
+                                              method=method, timed=True)
+    # first call includes any compile not yet in the on-disk cache; the
+    # second is the steady-state prediction cost
+    t0 = time.perf_counter()
+    model.predict_s()
+    predict_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     model.predict_s()
     predict_s_time = time.perf_counter() - t0
@@ -255,6 +271,9 @@ def run_separation(maxiter: int, seconds: float = 14.0,
         "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
         "rmse": float(rmse),
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
+        "optimize_s_unsharded": (None if unsharded_s is None
+                                 else round(unsharded_s, 2)),
+        "predict_first_s": round(predict_first, 2),
         "predict_s": round(predict_s_time, 2), "build_s": round(build_s, 2),
         "audio_seconds_per_s_optimize": round(audio_s / max(run_s, 1e-9), 3),
         "audio_seconds_per_s_total": round(
