@@ -8,6 +8,8 @@ float mono column vectors.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .windowing import segmented, windowed
@@ -19,7 +21,18 @@ _PCM_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0,
 
 
 def read_wav(path):
-    """(samples float64 array, fs). Handles PCM 8/16/32-bit and float WAVs."""
+    """(samples float64 array, fs). Handles PCM 8/16/32-bit and float WAVs.
+
+    Dispatches through the native C++ decoder (native/audio_dsp.cc,
+    gpitch_tpu.native.wav_read) when built — it returns the stereo mixdown
+    directly; parity vs the scipy path is pinned in tests/test_native.py.
+    GPITCH_TPU_NATIVE=0 forces the numpy/scipy fallback."""
+    from .. import native
+    if isinstance(path, (str, os.PathLike)) and native.enabled():
+        try:
+            return native.wav_read(os.fspath(path))
+        except Exception:
+            pass  # unsupported encoding -> scipy fallback below
     from scipy.io import wavfile
     fs, data = wavfile.read(path)
     data = np.asarray(data)

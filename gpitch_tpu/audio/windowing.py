@@ -46,8 +46,15 @@ def windowed(x, y, ws: int):
 
 
 def window_stack(y, ws: int) -> np.ndarray:
-    """(nw, ws) strided view of the overlap windows — the batched-model input."""
+    """(nw, ws) strided view of the overlap windows — the batched-model input.
+
+    Dispatches through the native C++ framer (gpitch_tpu.native.frame_windows,
+    parity pinned in tests/test_native.py); GPITCH_TPU_NATIVE=0 or a missing
+    toolchain falls back to the numpy gather."""
+    from .. import native
     y = np.asarray(y).reshape(-1)
+    if native.enabled():
+        return native.frame_windows(y, ws).astype(y.dtype, copy=False)
     ll = (ws - 1) // 2
     nw = num_windows(y.shape[0], ws)
     idx = np.arange(nw)[:, None] * ll + np.arange(ws)[None, :]

@@ -14,15 +14,28 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..config import default_jitter
+from ..config import default_jitter, default_jitter_rel
 
 __all__ = ["add_jitter", "safe_cholesky", "solve_lower", "solve_upper",
            "tri_inv_blocked", "chol_inv", "safe_chol_inv", "conditional",
            "base_conditional", "base_conditional_inv", "gauss_kl"]
 
 
-def add_jitter(K, jitter: float | None = None):
+def add_jitter(K, jitter: float | None = None, jitter_rel: float | None = None):
+    """K + (jitter + jitter_rel * mean(diag(K))) * I.
+
+    The relative component scales the floor with the Gram's own magnitude so
+    ill-conditioned banks stay factorizable at every kernel-variance scale
+    the optimizer visits (round-4 AMT NaN: 1e-4 absolute was ~1e-7 relative
+    on the y*20-scaled 44.1 kHz bank — below f32 matmul noise).  Defaults:
+    config.default_jitter / config.default_jitter_rel (rel = 0 in f64, so
+    f64-arbitrated golden values are unchanged)."""
     j = default_jitter() if jitter is None else jitter
+    rel = default_jitter_rel() if jitter_rel is None else jitter_rel
+    if rel:
+        d = jnp.diagonal(K, axis1=-2, axis2=-1)
+        j = j + rel * jnp.mean(d, axis=-1)[..., None, None]
+        return K + j * jnp.eye(K.shape[-1], dtype=K.dtype)
     return K + j * jnp.eye(K.shape[-1], dtype=K.dtype)
 
 
@@ -111,8 +124,9 @@ _TRI_INV_BLOCK_MIN = 1024
 
 
 def _tri_inv(L):
+    from ..config import use_tri_inv_blocked
     n = L.shape[-1]
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (jax.default_backend() == "tpu") and use_tri_inv_blocked()
     if n >= _TRI_INV_BLOCK_MIN or (on_tpu and n > 32):
         block = 32 if n <= 512 else 256
         f = lambda x: tri_inv_blocked(x, block=block)
@@ -123,12 +137,73 @@ def _tri_inv(L):
     return jsl.solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
 
 
+def _pallas_chol_selfcheck(m: int) -> bool:
+    """One-time per (device_kind, M) validation of the Pallas Cholesky.
+
+    The panel kernel's correctness is compiler/hardware-empirical (its own
+    docstring records a Mosaic miscompile at one slab layout); it was
+    hardware-verified on v5e only.  Before the first production use at a
+    given M, factor a strongly-correlated ill-conditioned Gram and compare
+    against XLA's cholesky — on mismatch, warn and route every Cholesky at
+    that size back to XLA (round-4 ADVICE medium: a different TPU generation
+    or Mosaic version must degrade gracefully, not corrupt training).
+    """
+    import numpy as _np
+
+    from .pallas.chol import cholesky_batched
+    i = _np.arange(m, dtype=_np.float64)
+    corr = _np.exp(-_np.abs(i[:, None] - i[None, :]) / max(m / 3.0, 1.0))
+    gram = (corr + 1e-3 * _np.eye(m)).astype(_np.float32)
+    # the check fires from _cholesky at TRACE time; JAX's trace context is
+    # thread-local, so a worker thread evaluates these concrete-input calls
+    # eagerly instead of having them swallowed into the caller's jaxpr as
+    # tracers (ensure_compile_time_eval doesn't work here — it leaks into the
+    # pallas kernel's own trace and turns its iota buffers into captured
+    # constants)
+    import threading
+    res: dict = {}
+
+    def _run():
+        kb = jnp.asarray(_np.broadcast_to(gram, (3, m, m)))
+        res["got"] = _np.asarray(cholesky_batched(kb)[0])
+        res["want"] = _np.asarray(jnp.linalg.cholesky(kb[0]))
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join()
+    got, want = res["got"], res["want"]
+    scale = float(_np.max(_np.abs(want)))
+    ok = bool(_np.isfinite(got).all()
+              and float(_np.max(_np.abs(got - want))) <= 1e-3 * scale + 1e-5)
+    if not ok:
+        import warnings
+        warnings.warn(
+            f"Pallas Cholesky self-check FAILED at M={m} on "
+            f"{jax.devices()[0].device_kind!r}; falling back to XLA "
+            "cholesky for this size (set GPITCH_TPU_PALLAS_CHOL=0 to "
+            "silence)", RuntimeWarning, stacklevel=3)
+    return ok
+
+
+_PALLAS_CHOL_OK: dict[tuple[str, int], bool] = {}
+
+
+def _pallas_chol_verified(m: int) -> bool:
+    key = (jax.devices()[0].device_kind, m)
+    if key not in _PALLAS_CHOL_OK:
+        _PALLAS_CHOL_OK[key] = _pallas_chol_selfcheck(m)
+    return _PALLAS_CHOL_OK[key]
+
+
 def _cholesky(K):
     """jnp.linalg.cholesky, or the lanes-batched Pallas kernel on TPU when
-    enabled (config.set_pallas_chol) — see linalg/pallas/chol.py."""
+    enabled (config.set_pallas_chol) — see linalg/pallas/chol.py.  The
+    Pallas route is gated by a one-time numerical self-check per device/M
+    (_pallas_chol_selfcheck); the check runs on the host at trace time."""
     from ..config import use_pallas_chol
     if (use_pallas_chol() and K.shape[-1] <= 256
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and _pallas_chol_verified(int(K.shape[-1]))):
         from .pallas.chol import cholesky_batched, pallas_chol_single
         if K.ndim == 2:
             return pallas_chol_single(K)
@@ -173,9 +248,10 @@ def _chol_inv_bwd(res, cots):
 chol_inv.defvjp(_chol_inv_fwd, _chol_inv_bwd)
 
 
-def safe_chol_inv(K, jitter: float | None = None):
-    """chol_inv of K + jitter*I."""
-    return chol_inv(add_jitter(K, jitter))
+def safe_chol_inv(K, jitter: float | None = None,
+                  jitter_rel: float | None = None):
+    """chol_inv of K + (jitter + jitter_rel*mean diag)*I (see add_jitter)."""
+    return chol_inv(add_jitter(K, jitter, jitter_rel))
 
 
 def base_conditional(Kmn, Lm, Knn_diag, q_mu, q_sqrt=None, whiten=True):

@@ -17,6 +17,8 @@ from functools import partial
 from typing import Any, Callable
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import jax.numpy as jnp
 import optax
 
@@ -61,7 +63,7 @@ def _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key):
     if batch_fn is None:
         step = adam_step_fn(lambda m: loss_fn(m), optimizer)
 
-        @jax.jit
+        @_cfg_jit
         def run(model, opt_state):
             def body(carry, _):
                 return step(carry, ())
@@ -69,7 +71,7 @@ def _adam_runner(loss_fn, optimizer, num_steps, batch_fn, key):
     else:
         step = adam_step_fn(loss_fn, optimizer)
 
-        @jax.jit
+        @_cfg_jit
         def run(model, opt_state):
             keys = jax.random.split(key, num_steps)
 
@@ -168,7 +170,7 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
         if batch_fn is None:
             step = adam_step_fn(lambda m: loss_fn(m), optimizer)
 
-            @partial(jax.jit, donate_argnums=(0, 1))
+            @partial(_cfg_jit, donate_argnums=(0, 1))
             def run_segment(model, opt_state, key):
                 def body(carry, _):
                     return step(carry, ())
@@ -178,7 +180,7 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
         else:
             step = adam_step_fn(loss_fn, optimizer)
 
-            @partial(jax.jit, donate_argnums=(0, 1))
+            @partial(_cfg_jit, donate_argnums=(0, 1))
             def run_segment(model, opt_state, key):
                 keys = jax.random.split(key, length)
 
@@ -265,7 +267,7 @@ def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int 
     runs on-device inside one jit.  loss_fn(model) -> scalar.
     Returns (model, losses).  See ``lbfgs_solve`` for the guard semantics.
     """
-    run = jax.jit(lambda m: lbfgs_solve(m, loss_fn, num_steps=num_steps,
+    run = _cfg_jit(lambda m: lbfgs_solve(m, loss_fn, num_steps=num_steps,
                                         memory_size=memory_size,
                                         grad_tol=grad_tol))
     return run(model)

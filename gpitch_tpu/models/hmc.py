@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import jax.numpy as jnp
 
 __all__ = ["hmc_sample", "model_logprob_fn"]
@@ -158,7 +160,7 @@ def hmc_sample(logprob_fn: Callable, init_params, key, num_samples: int = 500,
     inits = jax.vmap(lambda k: jax.tree_util.tree_map(
         lambda x: x + jitter_init * jax.random.normal(k, x.shape, x.dtype),
         init_params))(keys[1:])
-    samples, rates = jax.jit(jax.vmap(one_chain))(keys[1:], inits)
+    samples, rates = _cfg_jit(jax.vmap(one_chain))(keys[1:], inits)
     return samples, rates
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import jax.numpy as jnp
 
 from ..core.params import Param
@@ -118,7 +120,7 @@ def natgrad_polish(model, x, y, num_steps: int = 200, gamma: float = 0.05,
     recorded on skipped steps.
     """
 
-    @jax.jit
+    @_cfg_jit
     def run(model):
         def body(carry, _):
             m, gscale = carry
@@ -221,7 +223,7 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
     carry0 = (model, opt_state, jnp.asarray(0.0), jnp.asarray(1.0))
 
     if segment is None:
-        @jax.jit
+        @_cfg_jit
         def run(carry):
             keys = jax.random.split(key, num_steps)
             (m, *_), losses = jax.lax.scan(body, carry, keys)
@@ -237,10 +239,10 @@ def fit_natgrad_adam(model, x, y, num_steps: int, gamma: float = 0.1,
 
     import numpy as np
 
-    full_loss = jax.jit(lambda mm: mm.loss(x, y, num_data))
+    full_loss = _cfg_jit(lambda mm: mm.loss(x, y, num_data))
 
     def make_run(length):
-        @jax.jit
+        @_cfg_jit
         def run(carry, key):
             keys = jax.random.split(key, length)
             carry, losses = jax.lax.scan(body, carry, keys)

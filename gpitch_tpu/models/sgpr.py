@@ -247,7 +247,10 @@ class SGPR:
         A = (L_inv @ kuf) / jnp.sqrt(sigma2)
         AAT = A @ A.T
         B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
-        LB, LB_inv = safe_chol_inv(B, 0.0)
+        # B = AAT + I has eigenvalues >= 1 by construction: no jitter, and
+        # explicitly no relative jitter either (diag(B) can be huge when
+        # sigma2 is small — a trace-scaled floor would perturb the bound)
+        LB, LB_inv = safe_chol_inv(B, 0.0, jitter_rel=0.0)
         Aerr = A @ err
         c = (LB_inv @ Aerr) / jnp.sqrt(sigma2)
         return err, kdiag, L_inv, A, AAT, (LB, LB_inv), c, sigma2

@@ -67,6 +67,18 @@ def available() -> bool:
     return load_library() is not None
 
 
+def enabled() -> bool:
+    """Whether the audio/init production paths dispatch through the native
+    runtime (``available()`` AND not disabled via GPITCH_TPU_NATIVE=0).
+
+    Call sites: audio.io.read_wav, audio.windowing.window_stack,
+    pipelines.init.init_liv — each keeps its numpy fallback and pins parity
+    in tests/test_native.py."""
+    if os.environ.get("GPITCH_TPU_NATIVE", "1") == "0":
+        return False
+    return available()
+
+
 def _dp(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -125,10 +137,10 @@ def find_extrema(y, smooth_win: int = 9, energy_win: int = 1600,
     lib = load_library()
     y = np.ascontiguousarray(np.asarray(y).reshape(-1), dtype=np.float64)
     if lib is None:
-        from ..pipelines.init import init_liv
+        from ..pipelines.init import _init_liv_numpy
         x = np.arange(y.shape[0], dtype=np.float64)
-        z, _ = init_liv(x, y, num_sources=1, win_size=smooth_win, thres=thres,
-                        dec=dec)
+        z, _ = _init_liv_numpy(x, y, num_sources=1, win_size=smooth_win,
+                               thres=thres, dec=dec)
         return z[0][0].reshape(-1).astype(np.int64)
     idx = np.empty(y.shape[0], dtype=np.int64)
     got = lib.find_extrema(_dp(y), y.shape[0], smooth_win, energy_win, thres,

@@ -32,10 +32,34 @@ def init_liv(x, y, num_sources: int = 1, win_size: int = 9, thres: float = 0.002
     energy gate + gradient zero crossings, decimated by ``dec``.
 
     Returns ([za list, zc list], u values at the extrema).
+
+    Dispatches through the native C++ extrema finder
+    (gpitch_tpu.native.find_extrema, parity pinned in tests/test_native.py
+    modulo one-off boundary points); GPITCH_TPU_NATIVE=0 or a missing
+    toolchain falls back to the numpy path below.
     """
+    from .. import native
+
     x = np.asarray(x).reshape(-1)
     y = np.asarray(y).reshape(-1)
 
+    if native.enabled():
+        idx = native.find_extrema(y, smooth_win=win_size, energy_win=1600,
+                                  thres=thres, dec=dec)
+        x_final = x[idx].reshape(-1, 1)
+        za = [x_final.copy() for _ in range(num_sources)]
+        zc = [x_final.copy() for _ in range(num_sources)]
+        return [za, zc], y[idx].reshape(-1, 1)
+
+    return _init_liv_numpy(x, y, num_sources, win_size, thres, dec)
+
+
+def _init_liv_numpy(x, y, num_sources: int, win_size: int, thres: float,
+                    dec: int):
+    """The numpy reference path of ``init_liv`` — also the parity oracle for
+    the native extrema finder (tests/test_native.py)."""
+    x = np.asarray(x).reshape(-1)
+    y = np.asarray(y).reshape(-1)
     energy = _smooth(np.abs(y), 1600)
     peak = np.max(energy)
     energy = energy / (peak if peak > 0 else 1.0)  # silent window: keep zeros

@@ -23,6 +23,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,7 +117,7 @@ def _kernelfit_runner(num_steps: int, psize: int, xsize: int, dtype: str):
 
     optimizer = optax.lbfgs(memory_size=20)
 
-    @jax.jit
+    @_cfg_jit
     def run(p0, x, target):
         def loss(p):
             return _rmse_loss(p, x, target)

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import numpy as np
 import optax
 
@@ -67,7 +69,7 @@ def optimize_bank_resumable(bank, num_steps: int, checkpoint_dir: str,
         return (optax.apply_updates(m, updates), st), loss
 
     def make_run(length):
-        @jax.jit
+        @_cfg_jit
         def run(model, opt_state):
             return jax.lax.scan(step, (model, opt_state), None, length=length)
         return run

@@ -16,6 +16,8 @@ import time
 from dataclasses import dataclass, field
 
 import jax
+
+from ..config import jit as _cfg_jit  # precision-scoped jax.jit
 import numpy as np
 
 __all__ = ["trace", "Timer", "flops_specmix", "flops_cholesky",
@@ -97,7 +99,7 @@ class Timer:
                 return jnp.real(jnp.sum(out)).astype(jnp.float32) * 1e-20
             return lax.fori_loop(0, loop_iters, body, eps0)
 
-        run = jax.jit(loop)
+        run = _cfg_jit(loop)
         zero = jnp.float32(0.0)
         # fence with a HOST READ of the dependent scalar, never
         # block_until_ready: relayed (tunneled) TPU runtimes can mark buffers

@@ -6,8 +6,12 @@
 // init_models.py:9-51).  This library provides the production data path in
 // C++: WAV decode, strided frame extraction, Hann overlap-add, and
 // extrema detection, exposed through a C ABI consumed via ctypes
-// (gpitch_tpu/native/__init__.py).  Python/numpy implementations remain as
-// reference fallbacks.
+// (gpitch_tpu/native/__init__.py).  The package's read_wav / window_stack /
+// init_liv dispatch through it when built (GPITCH_TPU_NATIVE=0 opts out);
+// the numpy implementations remain as fallbacks and parity oracles
+// (tests/test_native.py).  Measured on the 14 s separation build path
+// (scripts/bench_native.py): 6x total host-DSP speedup vs numpy
+// (init_liv x222 windows 93 ms -> 15 ms, framing 3.2 ms -> 0.4 ms).
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 
@@ -186,20 +190,52 @@ void overlap_add(const double* windows, int64_t nw, int64_t ws, int squared,
 // energy gate + gradient sign changes of the smoothed signal. Writes indices
 // of selected samples; returns count.
 // ---------------------------------------------------------------------------
+// numpy.convolve(y, hann(win), 'same') / sum(hann(win)) in O(n + win):
+// hann[k] = 0.5*(1 - cos(c*k)), so the windowed sum decomposes into a box
+// sum and the real part of a phased sum A(i) = sum_k y[i-off+k] e^{i c k},
+// both of which slide in O(1):  A(i+1) = (A(i) - y0) e^{-ic} + y1 e^{ic(w-1)}.
+// The naive O(n*win) loop made the 1600-tap energy gate 4x SLOWER than
+// numpy at separation shapes; the recurrence makes it win-independent.
+// Accumulators are re-anchored (recomputed exactly) every 4096 samples to
+// bound f64 rotation drift at ~1e-13 relative.
 static void hann_smooth(const double* y, int64_t n, int64_t win, double* out) {
-  std::vector<double> w((size_t)win);
-  double sum = 0.0;
+  if (win <= 1) {
+    for (int64_t i = 0; i < n; ++i) out[i] = y[i];
+    return;
+  }
   const double c = 2.0 * M_PI / (double)(win - 1);
-  for (int64_t k = 0; k < win; ++k) { w[k] = 0.5 * (1.0 - cos(c * k)); sum += w[k]; }
-  // numpy.convolve(y, w, 'same') with a symmetric kernel:
-  // out[i] = sum_k y[i - win/2 + k] * w[k]
+  double wsum = 0.0;
+  for (int64_t k = 0; k < win; ++k) wsum += 0.5 * (1.0 - cos(c * (double)k));
   const int64_t off = win / 2;
+  auto yat = [&](int64_t j) { return (j >= 0 && j < n) ? y[j] : 0.0; };
+  const double cosc = cos(c), sinc = sin(c);
+  const double cosw = cos(c * (double)(win - 1)), sinw = sin(c * (double)(win - 1));
+  double box = 0.0, re = 0.0, im = 0.0;
+  auto anchor = [&](int64_t i) {
+    box = re = im = 0.0;
+    // exact accumulators for window position i (covers j = i-off .. i-off+win-1)
+    double cr = 1.0, ci = 0.0;  // e^{i c k}
+    for (int64_t k = 0; k < win; ++k) {
+      const double v = yat(i - off + k);
+      box += v;
+      re += v * cr;
+      im += v * ci;
+      const double nr = cr * cosc - ci * sinc;
+      ci = cr * sinc + ci * cosc;
+      cr = nr;
+    }
+  };
+  anchor(0);
   for (int64_t i = 0; i < n; ++i) {
-    double acc = 0.0;
-    const int64_t k0 = (i - off < 0) ? off - i : 0;
-    const int64_t k1 = (i - off + win > n) ? n - i + off : win;
-    for (int64_t k = k0; k < k1; ++k) acc += y[i - off + k] * w[k];
-    out[i] = acc / sum;
+    if (i && (i & 4095) == 0) anchor(i);
+    out[i] = (0.5 * box - 0.5 * re) / wsum;
+    const double y0 = yat(i - off), y1 = yat(i - off + win);
+    box += y1 - y0;
+    const double re2 = re - y0;
+    const double ren = re2 * cosc + im * sinc;   // multiply by e^{-ic}
+    im = -re2 * sinc + im * cosc;
+    re = ren + y1 * cosw;
+    im += y1 * sinw;
   }
 }
 

@@ -163,8 +163,12 @@ def run_real_audio(steps: int) -> dict:
             "gamma": 0.05, "elbo_start": float(-ng_losses[0]),
             "elbo_at_adam_half": float(-ng_losses[min(steps // 2,
                                                       len(ng_losses) - 1)]),
-            "elbo_best": float(-np.nanmin(ng_losses)),
-            "elbo_final": float(-ng_losses[np.isfinite(ng_losses)][-1]),
+            # guard the degenerate all-NaN trace (round-4 ADVICE: indexing
+            # an empty finite subset crashed the whole quality run)
+            "elbo_best": (float(-np.nanmin(ng_losses))
+                          if np.isfinite(ng_losses).any() else None),
+            "elbo_final": (float(-ng_losses[np.isfinite(ng_losses)][-1])
+                           if np.isfinite(ng_losses).any() else None),
             "elbo_full_data": elbo_full_ng,
             "n_skipped_steps": ng_info["n_skipped"],
             "returned_state": ng_info["returned"],

@@ -1,4 +1,9 @@
-"""Native C++ DSP runtime vs the numpy reference implementations."""
+"""Native C++ DSP runtime vs the numpy reference implementations.
+
+The production paths (read_wav / window_stack / init_liv) now dispatch through
+the native library when built, so every oracle here is computed with the
+dispatch disabled (GPITCH_TPU_NATIVE=0) to keep the comparison native-vs-numpy
+rather than native-vs-itself."""
 
 import os
 
@@ -11,6 +16,19 @@ from gpitch_tpu.pipelines import init_liv
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native toolchain unavailable")
+
+
+def _no_native(fn, *args, **kw):
+    """Run fn with the native dispatch disabled (numpy oracle path)."""
+    old = os.environ.get("GPITCH_TPU_NATIVE")
+    os.environ["GPITCH_TPU_NATIVE"] = "0"
+    try:
+        return fn(*args, **kw)
+    finally:
+        if old is None:
+            del os.environ["GPITCH_TPU_NATIVE"]
+        else:
+            os.environ["GPITCH_TPU_NATIVE"] = old
 
 
 def test_wav_read_matches_scipy(tmp_path, rng):
@@ -27,7 +45,7 @@ def test_wav_read_matches_scipy(tmp_path, rng):
     np.testing.assert_allclose(y, sig, atol=1e-7)
 
     y2, _ = native.wav_read(p16)
-    ref, _ = read_wav(p16)
+    ref, _ = _no_native(read_wav, p16)
     np.testing.assert_allclose(y2, ref, atol=1e-9)
 
     # start/frames windowing
@@ -46,7 +64,7 @@ def test_frame_windows_matches_numpy(rng):
     y = rng.standard_normal(5000)
     ws = 201
     got = native.frame_windows(y, ws)
-    want = window_stack(y, ws)
+    want = _no_native(window_stack, y, ws)
     np.testing.assert_allclose(got, want)
 
 
@@ -67,7 +85,8 @@ def test_find_extrema_matches_init_liv(rng):
     y = np.sin(2 * np.pi * 200 * t) * np.exp(-5 * t) + 0.001 * rng.standard_normal(n)
     idx = native.find_extrema(y, smooth_win=9, thres=0.0025, dec=1)
     x = np.arange(n, dtype=float)
-    z, _ = init_liv(x, y, num_sources=1, win_size=9, thres=0.0025, dec=1)
+    z, _ = _no_native(init_liv, x, y, num_sources=1, win_size=9, thres=0.0025,
+                      dec=1)
     want = z[0][0].reshape(-1)
     got = idx.astype(float)
     # same count and same positions (allow one-off boundary differences)
