@@ -223,9 +223,10 @@ class SGPR:
         return self.kern.k_r(r)
 
     # ------------------------------------------------------------- bound
-    def _common(self):
+    def _covs(self):
+        """(err, kdiag, kuf, kuu) with masks applied — shared by the loss and
+        predict paths."""
         x, y, z = self.X.value, self.Y.value, self.Z.value
-        sigma2 = self.variance.value
         err = y
         if self.lag_table:
             ix, iz = self._grid_indices()
@@ -242,6 +243,11 @@ class SGPR:
             err = err * mv[:, None]
             kdiag = kdiag * mv
             kuf = kuf * mv[None, :]
+        return err, kdiag, kuf, kuu
+
+    def _common(self):
+        err, kdiag, kuf, kuu = self._covs()
+        sigma2 = self.variance.value
         # chol_inv: downstream solves and the whole VJP become MXU matmuls
         _, L_inv = safe_chol_inv(kuu, self.numerics.jitter_value())
         A = (L_inv @ kuf) / jnp.sqrt(sigma2)
@@ -256,7 +262,15 @@ class SGPR:
         return err, kdiag, L_inv, A, AAT, (LB, LB_inv), c, sigma2
 
     def elbo(self):
-        """The collapsed bound, term-for-term sgpr_ss.py:56-62."""
+        """The collapsed bound, term-for-term sgpr_ss.py:56-62.
+
+        Stays in the whitened (A = Linv Kuf) form: the normal-equations form
+        (G = Kuf Kuf^T contracted once, AAT = Linv G Linv^T) was measured
+        14% faster per bank step (10.05 vs 11.74 ms at separation quality
+        shapes) but costs 380x bound accuracy in f32 (f64-arbitrated rel err
+        6.0e-7 -> 2.3e-4 — squaring Kuf before whitening doubles the
+        condition number's bite); rejected, see docs/ROOFLINE.md section 4.
+        """
         err, kdiag, _, _, AAT, (LB, _), c, sigma2 = self._common()
         num_data = (jnp.sum(self.mask_value) if self.mask is not None
                     else jnp.asarray(err.shape[0], err.dtype))
