@@ -145,15 +145,18 @@ def _bank_breakdown(bank):
             "forward_plus_grad_ms": round(step_s * 1e3, 3)}
 
 
-def run_separation_bank(maxiter=500, seconds=4.0, m=112, ws=2001,
+def run_separation_bank(maxiter=500, seconds=14.0, m=112, ws=2001,
                         breakdown=True):
     """Windowed-SGPR separation bank: audio-seconds optimized per second.
 
     3 pitches, ws=2001, direct MXU feature-matmul covariance path — the
-    compute core of the SoSp pipeline at reference window size
-    (separation.py:92-99).  ``m``/``ws`` expose the round-2/3 MXU padding
-    hypothesis (M 112 -> 128, ws 2001 -> 2049: hop stays (ws-1)/2 integer);
-    see docs/ROOFLINE.md for the measured outcome.
+    compute core of the SoSp pipeline at reference window size AND duration
+    (separation.py:92-99: a 14-s mixture, ~222 windows — the same scale the
+    quality runs and docs/ROOFLINE.md model; a shrunken 4-s bank
+    under-amortizes the batched-Cholesky panel latency and misreports the
+    roofline gap).  ``m``/``ws`` expose the round-2/3 MXU padding hypothesis
+    (M 112 -> 128, ws 2001 -> 2049: hop stays (ws-1)/2 integer); see
+    docs/ROOFLINE.md for the measured outcome.
     """
     from gpitch_tpu.audio import synth_piano_note
     from gpitch_tpu.audio.windowing import window_stack

@@ -168,9 +168,22 @@ def _pallas_chol_selfcheck(m: int) -> bool:
         res["got"] = _np.asarray(cholesky_batched(kb)[0])
         res["want"] = _np.asarray(jnp.linalg.cholesky(kb[0]))
 
-    t = threading.Thread(target=_run, daemon=True)
+    def _run_guarded():
+        try:
+            _run()
+        except Exception as e:  # noqa: BLE001 — any failure means "not verified"
+            res["error"] = e
+
+    t = threading.Thread(target=_run_guarded, daemon=True)
     t.start()
     t.join()
+    if "got" not in res or "want" not in res:
+        import warnings
+        warnings.warn(
+            f"Pallas Cholesky self-check errored at M={m} "
+            f"({res.get('error')!r}); falling back to XLA cholesky",
+            RuntimeWarning, stacklevel=3)
+        return False
     got, want = res["got"], res["want"]
     scale = float(_np.max(_np.abs(want)))
     ok = bool(_np.isfinite(got).all()

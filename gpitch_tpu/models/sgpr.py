@@ -250,15 +250,21 @@ class SGPR:
         sigma2 = self.variance.value
         # chol_inv: downstream solves and the whole VJP become MXU matmuls
         _, L_inv = safe_chol_inv(kuu, self.numerics.jitter_value())
-        A = (L_inv @ kuf) / jnp.sqrt(sigma2)
-        AAT = A @ A.T
+        # The 1/sigma2 scaling is applied to the (M, M)/(M, 1) products, not
+        # to A itself: scaling the (M, N) whitened covariance elementwise is
+        # a full extra HBM pass over the step's largest live buffer (the bank
+        # step is bandwidth-bound, docs/ROOFLINE.md), while AAT/Aerr are
+        # ~N/M times smaller.  c = LB_inv (A0/sqrt(s2)) err / sqrt(s2)
+        # composes to LB_inv A0 err / s2 exactly.
+        A = L_inv @ kuf
+        AAT = (A @ A.T) / sigma2
         B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
         # B = AAT + I has eigenvalues >= 1 by construction: no jitter, and
         # explicitly no relative jitter either (diag(B) can be huge when
         # sigma2 is small — a trace-scaled floor would perturb the bound)
         LB, LB_inv = safe_chol_inv(B, 0.0, jitter_rel=0.0)
         Aerr = A @ err
-        c = (LB_inv @ Aerr) / jnp.sqrt(sigma2)
+        c = (LB_inv @ Aerr) / sigma2
         return err, kdiag, L_inv, A, AAT, (LB, LB_inv), c, sigma2
 
     def elbo(self):

@@ -41,7 +41,7 @@ import numpy as np
 
 REF_WAV = "/root/reference/demos/data/011PFNOF_M60_train.wav"
 OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "QUALITY_r04.json")
+                        "QUALITY_r05.json")
 
 
 # ---------------------------------------------------------------- audio build
