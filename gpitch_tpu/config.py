@@ -116,8 +116,11 @@ def enable_persistent_compilation_cache(path: str = "/tmp/gpitch_jax_cache",
     chunk measured 94 s in round 3) and are recompiled identically by every
     quality/bench process; caching them is the standard production answer —
     a re-run of the same pipeline loads the executable in ~1 s.  Safe to call
-    more than once.  Returns the cache directory."""
+    more than once.  Returns the cache directory.  ``GPITCH_TPU_CACHE_DIR``
+    overrides ``path`` (point it at a fresh dir to measure true cold
+    compiles — scripts/profile_compile.py)."""
     import os
+    path = os.environ.get("GPITCH_TPU_CACHE_DIR", path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -145,7 +145,7 @@ class AMT:
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
                  method: str = "adam", timed: bool = False,
                  window_chunk: int | None = None, mesh=None,
-                 mesh_axis: str = "w"):
+                 mesh_axis: str = "w", segment: int | None = 50):
         """All windows in parallel (replaces transcription.py:265-298).
 
         ``timed=True`` also returns (compile_s, run_s) for the schedule.
@@ -153,11 +153,14 @@ class AMT:
         (88-pitch dictionary x hundreds of windows) — see optimize_bank.
         ``mesh``: shard the window axis over a jax.sharding.Mesh (window data
         parallelism, zero per-step collectives) — see optimize_bank.
+        ``segment``: scan-segment length; staged schedules should pass the
+        SAME value for every stage so all stages share one compiled
+        executable (the segment length is baked into the scan HLO).
         """
         out = optimize_bank(self.bank, num_steps=maxiter,
                             learning_rate=learning_rate, method=method,
                             timed=timed, window_chunk=window_chunk,
-                            mesh=mesh, mesh_axis=mesh_axis)
+                            mesh=mesh, mesh_axis=mesh_axis, segment=segment)
         if timed:
             self.bank, losses, timing = out
         else:

@@ -137,11 +137,14 @@ def main():
         "loss traces over all steps.",
         "",
         "**Caveat (recorded honestly):** all virtual devices share one "
-        "physical CPU, so `step_ms` measures SPMD partitioning overhead at "
-        "fixed total compute throughput, not real-chip speedup.  Flat-ish "
-        "step time as windows x devices grow 8x + zero loss drift is the "
-        "pass criterion; on a real pod the same program distributes the "
-        "compute since no per-step collectives exist to serialize it.",
+        "physical CPU, so total compute throughput is FIXED while the weak-"
+        "scaled workload grows — step time necessarily grows ~linearly with "
+        "total windows here and cannot demonstrate real-chip speedup.  The "
+        "pass criteria on this rig are (a) bit-level loss equality of the "
+        "sharded vs unsharded optimization at every size, and (b) bounded "
+        "SPMD partitioning overhead (`step_ms` vs `step_ms_unsharded` on "
+        "the identical bank).  On a real pod the same program distributes "
+        "the compute: no per-step collectives exist to serialize it.",
         "",
         "| devices | windows | step ms (sharded) | step ms (unsharded, same "
         "bank) | compile s | final loss (sharded) | final loss (unsharded) "

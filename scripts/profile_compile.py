@@ -42,8 +42,10 @@ def child(nw: int):
     build_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    # 60 steps = two 50/10 invocations of the one segment executable, so the
+    # timed split has a steady-state sample and compile_s is honest
     losses, (compile_s, run_s) = model.optimize(
-        maxiter=30, learning_rate=0.01, timed=True)
+        maxiter=60, learning_rate=0.01, timed=True)
     wall = time.perf_counter() - t0
     print(json.dumps({
         "nwin": int(model.nwin), "build_s": round(build_s, 2),
