@@ -223,7 +223,9 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
 
 
 def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
-                memory_size: int = 20, grad_tol: float = 1e-9):
+                memory_size: int = 20, grad_tol: float = 1e-9,
+                opt_state=None, return_state: bool = False,
+                active_steps=None):
     """Un-jitted L-BFGS core (zoom linesearch, fixed-length scan).
 
     Pure jax -> composable: ``jax.vmap(lambda m: lbfgs_solve(m, ...))`` runs
@@ -235,6 +237,15 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
     or an update goes non-finite: running the zoom linesearch on an exactly
     flat objective produces unbounded steps, so a fixed-length scan needs this
     guard (scipy's L-BFGS-B stops on the same criterion).
+
+    ``opt_state``/``return_state``: resume/yield the optax L-BFGS state
+    (curvature memory + linesearch cache), so a long solve can run as several
+    bounded-length dispatches — a 222-window x 1000-step vmapped solve in ONE
+    dispatch is minutes of device time, past relayed-TPU RPC deadlines (it
+    crashed the round-5 quality worker).  Exact: the state carries everything
+    the solver threads between iterations.  ``active_steps`` (int or traced
+    scalar) freezes iterations at a count below ``num_steps`` — a partial
+    final segment runs the same executable with a smaller active count.
     """
     optimizer = optax.lbfgs(memory_size=memory_size)
 
@@ -242,10 +253,12 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
         return loss_fn(m)
 
     value_and_grad = optax.value_and_grad_from_state(masked_loss)
-    opt_state = optimizer.init(model)
+    if opt_state is None:
+        opt_state = optimizer.init(model)
+    active = num_steps if active_steps is None else active_steps
 
     def body(carry, _):
-        m, st = carry
+        i, m, st = carry
         value, grads = value_and_grad(m, state=st)
         grads = zero_untrainable_grads(grads)
         updates, st2 = optimizer.update(grads, st, m, value=value, grad=grads,
@@ -254,16 +267,18 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
         gnorm = optax.global_norm(grads)
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(u)) for u in jax.tree_util.tree_leaves(updates)]))
-        ok = (gnorm > grad_tol) & finite
+        ok = (gnorm > grad_tol) & finite & (i < active)
 
         def pick(new, old):
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), new, old)
 
-        return (pick(m2, m), pick(st2, st)), value
+        return (i + 1, pick(m2, m), pick(st2, st)), value
 
-    (m, _), losses = jax.lax.scan(body, (model, opt_state), None,
-                                  length=num_steps)
+    (_, m, st), losses = jax.lax.scan(body, (jnp.int32(0), model, opt_state),
+                                      None, length=num_steps)
+    if return_state:
+        return m, losses, st
     return m, losses
 
 

@@ -42,31 +42,45 @@ def _nat_update_bank(q_mu, q_sqrt, grad_m, grad_S, gamma, jitter=1e-8):
 
     q_mu: (S, M, 1); q_sqrt: (S, M, M) lower tri; grad_m/grad_S: gradients of
     the ELBO w.r.t. m and (symmetric) S.  Returns new (q_mu, q_sqrt).
+
+    Whitened-frame formulation (f32-critical).  The textbook update inverts
+    S = LL^T and then inverts -2*lambda2' — both at kappa(S)^2, which NaNs in
+    f32 near convergence where S is ill-conditioned (the round-5 real-audio
+    natgrad run skipped 93% of its steps this way once scoped f32-exact
+    matmuls removed the bf16 rounding that had masked it).  Algebraically
+    identical but conditioned like the identity:
+
+        C     = I - 2 gamma L^T grad_S L          (~ I for natgrad-size steps)
+        S_new = L C^{-1} L^T
+        m_new = L C^{-1} (L^{-1} m + gamma L^T dxi1)
+
+    since -2*lambda2' = L^{-T} C L^{-1} and lambda1' = L^{-T} L^{-1} m +
+    gamma dxi1.  Every solve is triangular on L or on chol(C); no explicit
+    S^{-1} appears anywhere.  Equality with the textbook form is pinned by
+    the f64 conjugate-case test (tests/test_hmc_natgrad.py).
     """
     L = jnp.tril(q_sqrt)
-    Svar = L @ jnp.swapaxes(L, -1, -2)
-    Sinv = _batch_inv_psd(Svar, jitter)
-
-    lam1 = Sinv @ q_mu
-    lam2 = -0.5 * Sinv
+    Lt = jnp.swapaxes(L, -1, -2)
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
 
     dxi1 = grad_m - 2.0 * (grad_S @ q_mu)
-    dxi2 = grad_S
+    C = eye - 2.0 * gamma * _sym(Lt @ grad_S @ L)
+    Lc = jnp.linalg.cholesky(add_jitter(C, jitter))
 
-    lam1 = lam1 + gamma * dxi1
-    lam2 = lam2 + gamma * dxi2
+    # W = L Lc^{-T}: solve Lc X = L^T (lower), then W = X^T; S_new = W W^T
+    X = jax.scipy.linalg.solve_triangular(Lc, Lt, lower=True)
+    W = jnp.swapaxes(X, -1, -2)
+    S_new = W @ jnp.swapaxes(W, -1, -2)
 
-    S_new = _batch_inv_psd(-2.0 * _sym(lam2), jitter)
-    m_new = S_new @ lam1
+    # m_new = L C^{-1} (L^{-1} m + gamma L^T dxi1)
+    b = (jax.scipy.linalg.solve_triangular(L, q_mu, lower=True)
+         + gamma * (Lt @ dxi1))
+    c = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+    c = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Lc, -1, -2), c,
+                                          lower=False)
+    m_new = L @ c
     L_new = jnp.linalg.cholesky(add_jitter(_sym(S_new), jitter))
     return m_new, L_new
-
-
-def _batch_inv_psd(A, jitter):
-    L = jnp.linalg.cholesky(add_jitter(_sym(A), jitter))
-    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return jnp.swapaxes(Linv, -1, -2) @ Linv
 
 
 def natgrad_step(model, x, y, gamma: float = 0.1, num_data: int | None = None):

@@ -470,14 +470,25 @@ def _optimize_bank_chunked(bank, num_steps: int, learning_rate: float,
 
 def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
                          mesh=None, mesh_axis: str = "w", timed: bool = False,
-                         memory_size: int = 20):
+                         memory_size: int = 20, step_segment: int = 100):
     """One *independent* L-BFGS solver per window — vmapped zoom linesearch and
     curvature memory, the jit-batched equivalent of the reference's sequential
     per-window scipy L-BFGS-B (separation.py:289-298).  Chunking is exact
     (windows never interact); with ``mesh`` each chunk shards its window axis.
     Returns (bank, losses[, (compile_s, run_s)]) with losses the per-step
-    total over real windows."""
+    total over real windows.
+
+    ``step_segment``: L-BFGS iterations per device dispatch.  Each zoom
+    linesearch iteration can run tens of objective evaluations, so a full
+    1000-step vmapped solve is minutes of device time in one XLA execution —
+    past the relayed TPU's RPC deadline (it crashed the round-5 quality
+    worker twice).  The optax state (curvature memory + linesearch cache)
+    threads through host round-trips, so segmentation is exact, and ONE
+    segment executable serves every segment and chunk.
+    """
     import time
+
+    import optax
 
     from ..models.fit import lbfgs_solve
 
@@ -488,33 +499,37 @@ def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
         wc = -(-wc // size) * size
     wc = min(wc, nw) if mesh is None else wc
     padded, nw, nc, pad = _chunk_plan(bank, wc)
+    step_segment = max(1, min(step_segment, num_steps))
 
     @_cfg_jit
-    def solve(chunk):
-        return jax.vmap(
-            lambda m: lbfgs_solve(m, lambda mm: mm.loss(),
-                                  num_steps=num_steps,
-                                  memory_size=memory_size))(chunk)
+    def init_state(chunk):
+        return jax.vmap(optax.lbfgs(memory_size=memory_size).init)(chunk)
 
-    out_chunks, chunk_times = [], []
+    @_cfg_jit
+    def solve_segment(chunk, st, active):
+        return jax.vmap(
+            lambda m, s: lbfgs_solve(m, lambda mm: mm.loss(),
+                                     num_steps=step_segment,
+                                     memory_size=memory_size,
+                                     opt_state=s, return_state=True,
+                                     active_steps=active))(chunk, st)
+
+    actives = [step_segment] * (num_steps // step_segment)
+    if num_steps % step_segment:
+        actives.append(num_steps % step_segment)
+    out_chunks, seg_times = [], []
     losses = np.zeros(num_steps)
-    compile_s_aot = 0.0
     for ci in range(nc):
         chunk = _take_chunk(padded, ci, wc, mesh, mesh_axis)
-        if timed and nc == 1:
-            # single chunk: the first-chunk-minus-median heuristic has no
-            # steady-state sample, which made compile_s swallow the whole
-            # wall and run_s report 0 (round-4 ADVICE) — AOT-compile first
-            # so the two phases are measured separately
+        st = init_state(chunk)
+        lw_all = []
+        for active in actives:
             t0 = time.perf_counter()
-            run_fn = solve.lower(chunk).compile()
-            compile_s_aot = time.perf_counter() - t0
-        else:
-            run_fn = solve
-        t0 = time.perf_counter()
-        chunk, lw = run_fn(chunk)
-        lw = np.asarray(lw)  # (wc, num_steps) host fence
-        chunk_times.append(time.perf_counter() - t0)
+            chunk, lw, st = solve_segment(chunk, st, jnp.int32(active))
+            lw = np.asarray(lw)[:, :active]  # (wc, active) host fence
+            seg_times.append(time.perf_counter() - t0)
+            lw_all.append(lw)
+        lw = np.concatenate(lw_all, axis=1)
         if ci == nc - 1 and pad:
             lw = lw[: wc - pad]
         losses += lw.sum(axis=0)
@@ -523,12 +538,12 @@ def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
     merged = jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.concatenate(xs, 0)[:nw]), *out_chunks)
     if timed:
-        if nc == 1:
-            compile_s, run_s = compile_s_aot, sum(chunk_times)
+        if len(seg_times) > 1:
+            steady = float(np.median(seg_times[1:]))
+            compile_s = max(seg_times[0] - steady, 0.0)
         else:
-            steady = float(np.median(chunk_times[1:]))
-            compile_s = max(chunk_times[0] - steady, 0.0)
-            run_s = sum(chunk_times) - compile_s
+            compile_s = 0.0
+        run_s = sum(seg_times) - compile_s
         return merged, jnp.asarray(losses), (compile_s, run_s)
     return merged, jnp.asarray(losses)
 
