@@ -22,17 +22,32 @@ __all__ = ["add_jitter", "safe_cholesky", "solve_lower", "solve_upper",
 
 
 def add_jitter(K, jitter: float | None = None, jitter_rel: float | None = None):
-    """K + (jitter + jitter_rel * mean(diag(K))) * I.
+    """K + (jitter + jitter_rel_eff * mean(diag(K))) * I.
 
     The relative component scales the floor with the Gram's own magnitude so
     ill-conditioned banks stay factorizable at every kernel-variance scale
     the optimizer visits (round-4 AMT NaN: 1e-4 absolute was ~1e-7 relative
     on the y*20-scaled 44.1 kHz bank — below f32 matmul noise).  Defaults:
     config.default_jitter / config.default_jitter_rel (rel = 0 in f64, so
-    f64-arbitrated golden values are unchanged)."""
+    f64-arbitrated golden values are unchanged).
+
+    In f32 the relative floor is additionally M-aware:
+    rel_eff = max(rel, 8e-7 * M).  An f32 Cholesky loses
+    ~eps * lambda_max * sqrt(M) to rounding, and lambda_max <= M * mean(diag),
+    so a FIXED relative floor is outrun by the rounding noise as M grows.
+    Round-5 bisect (scripts/diag_amt_nan*.py): the 44.1 kHz M=160 AMT bank
+    legitimately visits exact-low-rank Grams late in training (a pitch's
+    lengthscale grows past the window span, making its block exactly the
+    rank-2P Mercer form) — lambda_min(Kuu + floor) = 3.7e-4 sat INSIDE the
+    f32 Cholesky noise (eps * lambda_max * sqrt(M) ~ 4e-4) and training
+    NaN'd at stage-2 step ~120 from a smoothly-descending loss.
+    8e-7 * M ~ 6.7 * eps_f32 * M keeps the floor above the noise bound at
+    the measured lambda_max/mean_diag ~ 80-160 of these banks."""
     j = default_jitter() if jitter is None else jitter
     rel = default_jitter_rel() if jitter_rel is None else jitter_rel
     if rel:
+        if K.dtype == jnp.float32:
+            rel = max(float(rel), 8e-7 * K.shape[-1])
         d = jnp.diagonal(K, axis1=-2, axis2=-1)
         j = j + rel * jnp.mean(d, axis=-1)[..., None, None]
         return K + j * jnp.eye(K.shape[-1], dtype=K.dtype)

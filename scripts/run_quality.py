@@ -581,6 +581,28 @@ def run_hmc(num_samples: int = 200, num_warmup: int = 100,
                              np.round(vals.std(axis=(0, 1)), 6)]
     out["rhat"] = rhats
     out["rhat_max"] = max(v for r in rhats.values() for v in r)
+    # Identified-quantity diagnostics: the kernel is
+    # variance * env * sum_p e_p cos(...), so (variance, energy) enter ONLY
+    # through the products variance*e_p — a scale ridge along which chains
+    # wander freely (variance up, energies down).  Raw-coordinate R-hat is
+    # large on that ridge even when every quantity the model cares about has
+    # converged; report R-hat of the identified products alongside.
+    tf_v = getattr(kc, "variance").transform
+    tf_e = getattr(kc, "energy").transform
+    v_all = np.asarray(tf_v.forward(np.asarray(samples["variance"],
+                                               dtype=np.float64)))
+    e_all = np.asarray(tf_e.forward(np.asarray(samples["energy"],
+                                               dtype=np.float64)))
+    v_all = v_all.reshape(num_chains, num_samples, -1)
+    e_all = e_all.reshape(num_chains, num_samples, -1)
+    prod = v_all[..., :1] * e_all                       # (C, S, P) identified
+    out["rhat_identified_var_x_energy"] = [
+        round(_split_rhat(prod[..., j]), 4) for j in range(prod.shape[-1])]
+    out["var_x_energy_mean"] = [float(v) for v in
+                                np.round(prod.mean(axis=(0, 1)), 5)]
+    out["rhat_max_identified"] = max(
+        [v for v in out["rhat_identified_var_x_energy"]]
+        + rhats["lengthscales"] + rhats["frequency"])
     return out
 
 

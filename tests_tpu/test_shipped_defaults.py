@@ -41,6 +41,43 @@ def test_pallas_chol_selfcheck_passes_on_this_chip():
             f"{jax.devices()[0].device_kind}")
 
 
+def test_low_rank_gram_cholesky_stays_finite():
+    """The late-training AMT failure mode, distilled (round-5 bisect,
+    scripts/diag_amt_nan*.py): a pitch whose lengthscale grows past the
+    window span makes its Kuu block exactly the rank-2P Mercer form, so the
+    summed Gram's lambda_min sits at the jitter floor — and with a FIXED
+    relative jitter the f32 batched Cholesky noise (~eps*lambda_max*sqrt(M))
+    exceeds it and training NaNs from a healthy loss.  The M-aware relative
+    floor (linalg/ops.add_jitter) must keep the batched chol_inv finite on
+    exactly this Gram."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gpitch_tpu.kernels import MercerMatern12sm
+    from gpitch_tpu.kernels.base import StackedSum
+    from gpitch_tpu.linalg.ops import safe_chol_inv
+
+    m, fs = 160, 44100.0
+    z = (np.arange(m) * 12.0 / fs).reshape(-1, 1)  # ~12-sample spacing
+    kerns = []
+    for i in range(8):
+        f0 = 261.6 * 2 ** (i / 12.0)
+        freqs = np.minimum(f0 * np.arange(1, 11), 0.45 * fs)
+        energy = np.full(10, 1e-4)
+        energy[0] = 4.0  # decayed partials: effective rank ~ 2, like window 50
+        # lengthscale 3.4 s >> 45 ms window span: envelope ~ 1, exact Mercer
+        kerns.append(MercerMatern12sm.create(0.8 if i == 4 else 0.014,
+                                             3.4, energy, freqs))
+    kern = StackedSum.create(kerns)
+    kuu = kern.K(jnp.asarray(z, dtype=jnp.float32))
+    batch = jnp.broadcast_to(kuu, (64, m, m))
+    L, L_inv = safe_chol_inv(batch)
+    assert bool(jnp.isfinite(L).all()), "batched Cholesky NaN'd on the " \
+        "low-rank Gram — the M-aware jitter floor regressed"
+    assert bool(jnp.isfinite(L_inv).all())
+
+
 @pytest.mark.parametrize("name,make", [("amt", workloads.make_amt),
                                        ("sosp", workloads.make_sosp)])
 def test_bank_training_tracks_cpu_f64(name, make, goldens):
