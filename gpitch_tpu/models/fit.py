@@ -225,7 +225,7 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
 def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
                 memory_size: int = 20, grad_tol: float = 1e-9,
                 opt_state=None, return_state: bool = False,
-                active_steps=None):
+                active_steps=None, best_in=None):
     """Un-jitted L-BFGS core (zoom linesearch, fixed-length scan).
 
     Pure jax -> composable: ``jax.vmap(lambda m: lbfgs_solve(m, ...))`` runs
@@ -246,6 +246,15 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
     the solver threads between iterations.  ``active_steps`` (int or traced
     scalar) freezes iterations at a count below ``num_steps`` — a partial
     final segment runs the same executable with a smaller active count.
+
+    Best-visited selection: the returned model is the lowest-loss state the
+    solver VISITED, not the last one.  optax's zoom linesearch, once its
+    trial budget is exhausted on an ill-scaled f32 objective, can accept a
+    finite-but-enormous step; scipy's L-BFGS-B (the reference optimizer,
+    separation.py:298) never accepts an increase, so best==last there and
+    this matches its contract.  (The round-5 quality L-BFGS bank ended at
+    loss ~2e27 on a few windows without it.)  ``best_in``/the 4th return
+    value thread the (best_model, best_value) pair across segments.
     """
     optimizer = optax.lbfgs(memory_size=memory_size)
 
@@ -256,11 +265,19 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
     if opt_state is None:
         opt_state = optimizer.init(model)
     active = num_steps if active_steps is None else active_steps
+    if best_in is None:
+        best_m0, best_v0 = model, jnp.asarray(jnp.inf)
+    else:
+        best_m0, best_v0 = best_in
 
     def body(carry, _):
-        i, m, st = carry
+        i, m, st, best_m, best_v = carry
         value, grads = value_and_grad(m, state=st)
         grads = zero_untrainable_grads(grads)
+        better = jnp.isfinite(value) & (value < best_v)
+        best_m = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), m, best_m)
+        best_v = jnp.where(better, value, best_v)
         updates, st2 = optimizer.update(grads, st, m, value=value, grad=grads,
                                         value_fn=masked_loss)
         m2 = optax.apply_updates(m, updates)
@@ -273,13 +290,22 @@ def lbfgs_solve(model, loss_fn: Callable, num_steps: int = 1000,
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), new, old)
 
-        return (i + 1, pick(m2, m), pick(st2, st)), value
+        return (i + 1, pick(m2, m), pick(st2, st), best_m, best_v), value
 
-    (_, m, st), losses = jax.lax.scan(body, (jnp.int32(0), model, opt_state),
-                                      None, length=num_steps)
+    (_, m, st, best_m, best_v), losses = jax.lax.scan(
+        body, (jnp.int32(0), model, opt_state, best_m0, best_v0), None,
+        length=num_steps)
+    # the final state's own loss was never compared (values lag one step):
+    # callers that stop here get the best of everything INCLUDING the final
+    # state via one extra evaluation
+    final_v = masked_loss(m)
+    better = jnp.isfinite(final_v) & (final_v < best_v)
+    best_m = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(better, a, b), m, best_m)
+    best_v = jnp.where(better, final_v, best_v)
     if return_state:
-        return m, losses, st
-    return m, losses
+        return m, losses, st, (best_m, best_v)
+    return best_m, losses
 
 
 def fit_lbfgs(model, loss_fn: Callable, num_steps: int = 1000, memory_size: int = 20,

@@ -506,13 +506,14 @@ def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
         return jax.vmap(optax.lbfgs(memory_size=memory_size).init)(chunk)
 
     @_cfg_jit
-    def solve_segment(chunk, st, active):
+    def solve_segment(chunk, st, best, active):
         return jax.vmap(
-            lambda m, s: lbfgs_solve(m, lambda mm: mm.loss(),
-                                     num_steps=step_segment,
-                                     memory_size=memory_size,
-                                     opt_state=s, return_state=True,
-                                     active_steps=active))(chunk, st)
+            lambda m, s, b: lbfgs_solve(m, lambda mm: mm.loss(),
+                                        num_steps=step_segment,
+                                        memory_size=memory_size,
+                                        opt_state=s, return_state=True,
+                                        active_steps=active,
+                                        best_in=b))(chunk, st, best)
 
     actives = [step_segment] * (num_steps // step_segment)
     if num_steps % step_segment:
@@ -522,10 +523,12 @@ def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
     for ci in range(nc):
         chunk = _take_chunk(padded, ci, wc, mesh, mesh_axis)
         st = init_state(chunk)
+        best = (chunk, jnp.full((wc,), jnp.inf))
         lw_all = []
         for active in actives:
             t0 = time.perf_counter()
-            chunk, lw, st = solve_segment(chunk, st, jnp.int32(active))
+            chunk, lw, st, best = solve_segment(chunk, st, best,
+                                                jnp.int32(active))
             lw = np.asarray(lw)[:, :active]  # (wc, active) host fence
             seg_times.append(time.perf_counter() - t0)
             lw_all.append(lw)
@@ -533,7 +536,8 @@ def _optimize_bank_lbfgs(bank, num_steps: int, window_chunk: int | None = None,
         if ci == nc - 1 and pad:
             lw = lw[: wc - pad]
         losses += lw.sum(axis=0)
-        out_chunks.append(jax.device_get(chunk))
+        # per-window best-visited state, not the last one (see lbfgs_solve)
+        out_chunks.append(jax.device_get(best[0]))
 
     merged = jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.concatenate(xs, 0)[:nw]), *out_chunks)
