@@ -136,8 +136,19 @@ def _bank_breakdown(bank):
         return bank_loss(perturbed(eps))
 
     def val_grad(eps):
+        from gpitch_tpu.core.params import zero_untrainable_grads
         loss, grads = jax.value_and_grad(lambda b: bank_loss(b))(perturbed(eps))
-        return loss + jnp.sum(jnp.asarray(grads.variance.raw)) * 1e-20
+        # keep EVERY trainable gradient leaf live: reducing only one leaf lets
+        # XLA dead-code-eliminate the whole spectral-mixture parameter VJP
+        # (~40% of the real step) and report a fantasy number (round-5 lesson;
+        # same class as the round-2 output-DCE bias).  zero_untrainable_grads
+        # first, as the real training step does — X/Y/Z cotangents are dead
+        # there too.
+        grads = zero_untrainable_grads(grads)
+        live = sum(jnp.sum(jnp.asarray(l)) * 1e-20
+                   for l in jax.tree_util.tree_leaves(grads)
+                   if hasattr(l, "dtype"))
+        return loss + live
 
     fwd_s = Timer.time_fn_loop(fwd, loop_iters=30)
     step_s = Timer.time_fn_loop(val_grad, loop_iters=30)
@@ -237,8 +248,13 @@ def run_amt88_bank(maxiter=100, num_windows=16):
     bank = build_window_bank(xw, yw, z, builder, y_scale=20.0,
                              grid_dt=1.0 / fs)
     build_s = time.perf_counter() - t0
+    # segment must divide maxiter: the fixed-length segment executable runs
+    # masked no-op steps past the active count, which is wall-clock waste at
+    # maxiter << default segment (round-5: 100 steps in a 250-step scan
+    # misread as a 2.6x throughput regression)
     bank, losses, (compile_s, run_s) = optimize_bank(
-        bank, num_steps=maxiter, learning_rate=0.01, timed=True)
+        bank, num_steps=maxiter, learning_rate=0.01, timed=True,
+        segment=maxiter)
     final = float(np.asarray(losses)[-1])
     audio_s = n / fs
     out = {"audio_s": round(audio_s, 2), "num_windows": num_windows,

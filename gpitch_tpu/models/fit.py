@@ -207,18 +207,26 @@ def fit_adam_segmented(model, loss_fn: Callable, num_steps: int,
     if num_steps % segment:
         actives.append(num_steps % segment)
     losses_out, seg_times = [], []
+    compiled = None
+    compile_s = 0.0
     for active in actives:
         key, sub = jax.random.split(key)
+        if compiled is None:
+            # AOT-compile once so compile vs run splits exactly — the old
+            # first-call-minus-median heuristic reported run_s=0 for
+            # single-segment schedules (round-4 ADVICE)
+            t0 = time.perf_counter()
+            compiled = run_segment.lower(model, opt_state, sub,
+                                         jnp.int32(active)).compile()
+            compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        model, opt_state, losses = run_segment(model, opt_state, sub,
-                                               jnp.int32(active))
+        model, opt_state, losses = compiled(model, opt_state, sub,
+                                            jnp.int32(active))
         float(losses[-1])  # host fence (see fit_adam_timed)
         seg_times.append(time.perf_counter() - t0)
         losses_out.append(np.asarray(losses)[:active])
     losses = jnp.asarray(np.concatenate(losses_out))
-    steady = float(np.median(seg_times[1:])) if len(seg_times) > 1 else 0.0
-    compile_s = max(seg_times[0] - steady, 0.0)
-    run_s = sum(seg_times) - compile_s
+    run_s = sum(seg_times)
     return model, losses, compile_s, run_s
 
 

@@ -145,7 +145,7 @@ class AMT:
     def optimize(self, maxiter: int = 500, learning_rate: float = 0.01,
                  method: str = "adam", timed: bool = False,
                  window_chunk: int | None = None, mesh=None,
-                 mesh_axis: str = "w", segment: int | None = 50):
+                 mesh_axis: str = "w", segment: int | None = 250):
         """All windows in parallel (replaces transcription.py:265-298).
 
         ``timed=True`` also returns (compile_s, run_s) for the schedule.

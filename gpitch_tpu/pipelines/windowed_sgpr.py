@@ -274,7 +274,7 @@ def bank_loss(bank):
 
 def optimize_bank(bank, num_steps: int = 500, learning_rate: float = 0.01,
                   method: str = "adam", timed: bool = False,
-                  segment: int | None = 50, window_chunk: int | None = None,
+                  segment: int | None = 250, window_chunk: int | None = None,
                   mesh=None, mesh_axis: str = "w"):
     """Optimize every window simultaneously; returns (bank, losses).
 

@@ -256,6 +256,13 @@ def run_separation(maxiter: int, seconds: float = 14.0,
         _, (_, unsharded_s) = model2.optimize(maxiter=maxiter,
                                               learning_rate=0.01,
                                               method=method, timed=True)
+    # the loss TRACE records the solver's visited states; the returned bank
+    # is the best-visited state per window (L-BFGS, models/fit.lbfgs_solve),
+    # so score the returned model explicitly
+    import jax as _jax
+    from gpitch_tpu.pipelines.windowed_sgpr import bank_loss
+    loss_returned = float(_jax.jit(bank_loss)(model.bank))
+
     # first call includes any compile not yet in the on-disk cache; the
     # second is the steady-state prediction cost
     t0 = time.perf_counter()
@@ -275,6 +282,7 @@ def run_separation(maxiter: int, seconds: float = 14.0,
         "num_windows": int(model.nwin), "maxiter": maxiter,
         "optimizer": method, "mesh_devices": mesh_devices,
         "loss_start": float(losses[0]), "loss_final": float(losses[-1]),
+        "loss_returned_model": loss_returned,
         "rmse": float(rmse),
         "compile_s": round(compile_s, 2), "optimize_s": round(run_s, 2),
         "optimize_s_unsharded": (None if unsharded_s is None
@@ -406,12 +414,18 @@ def run_amt(maxiter: int, seconds: float = 10.0, fs: float = 44100.0,
     # F(maxiter/3) ~ F(maxiter), audio-s/s at equal quality is 3x the
     # full-budget number (round-3 VERDICT weak #3).
     stages = [max(1, maxiter // 3), maxiter - max(1, maxiter // 3)]
+    # one segment length for BOTH stages (one executable, fit_adam_segmented
+    # length-independence) that divides both stage budgets (500/1000 full,
+    # 13-as-its-own-segment quick) so masked-tail no-op steps stay
+    # negligible, while keeping dispatches few (chunked banks dispatch
+    # nc x nseg times and the relayed chip costs ~0.3 s per dispatch)
+    seg = min(250, max(1, stages[0]))
     losses_all, stage_evals = [], []
     compile_s = run_s = 0.0
     for cum, st_steps in zip(np.cumsum(stages), stages):
         losses, (c_s, r_s) = model.optimize(
             maxiter=int(st_steps), learning_rate=0.01, timed=True,
-            window_chunk=window_chunk, mesh=mesh)
+            window_chunk=window_chunk, mesh=mesh, segment=seg)
         losses_all.append(np.asarray(losses))
         compile_s += c_s
         run_s += r_s
