@@ -91,6 +91,120 @@ def _kernel(zc_ref, xc_ref, err_ref, linv_ref, par_ref, u_ref, v_ref, *,
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _kernel_mxu(zc_ref, xc_ref, err_ref, linv_ref, frr_ref, frc_ref,
+                ser_ref, sec_ref, sc_ref, u_ref, v_ref, *,
+                num_sources: int):
+    """MXU-mix variant: per-source phi features built in VMEM and contracted
+    on the MXU (K = 2P), VPU only for the envelope — the design rule from
+    docs/PALLAS_SPECMIX.md applied inside the fused chain.
+
+    frr_ref/ser_ref: (S, 1, P) freq / sqrt(energy) row-oriented;
+    frc_ref/sec_ref: (S, P, 1) column-oriented; sc_ref: SMEM (1, 2S)
+    [var..., inv_l...].
+    """
+    jt = pl.program_id(1)
+    z = zc_ref[...]                               # (bt, M, 1)
+    x = xc_ref[...]                               # (bt, 1, T)
+
+    acc = None
+    for s in range(num_sources):
+        wr = TWO_PI * frr_ref[s]                  # (1, P) -> bcast (bt,M,P)
+        ang_z = z * wr                            # (bt, M, P)
+        ez = ser_ref[s]                           # (1, P)
+        phi_z = jnp.concatenate([ez * jnp.cos(ang_z), ez * jnp.sin(ang_z)],
+                                axis=2)           # (bt, M, 2P)
+        wc = TWO_PI * frc_ref[s]                  # (P, 1)
+        ang_x = wc * x                            # (bt, P, T)
+        ec = sec_ref[s]                           # (P, 1)
+        phi_x = jnp.concatenate([ec * jnp.cos(ang_x), ec * jnp.sin(ang_x)],
+                                axis=1)           # (bt, 2P, T)
+        mix = jax.lax.dot_general(
+            phi_z, phi_x, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (bt, M, T)
+        var = sc_ref[0, s]
+        inv_l = sc_ref[0, num_sources + s]
+        env = jnp.exp(-jnp.abs(z - x) * inv_l)
+        contrib = var * env * mix
+        acc = contrib if acc is None else acc + contrib
+
+    a = jax.lax.dot_general(linv_ref[...], acc,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(jt == 0)
+    def _init():
+        u_ref[...] = jnp.zeros_like(u_ref)
+        v_ref[...] = jnp.zeros_like(v_ref)
+
+    u_ref[...] += jax.lax.dot_general(
+        a, a, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    v_ref[...] += jax.lax.dot_general(
+        a, err_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def make_fused_mxu(s_src: int, p_par: int):
+    """MXU-mix fused kernel (see _kernel_mxu)."""
+    @functools.partial(jax.jit, static_argnames=("tile_t", "win_tile",
+                                                 "interpret"))
+    def fused(zc, xc, err, linv, energy, freq, var, inv_l,
+              tile_t: int = 512, win_tile: int = 4, interpret: bool = False):
+        nw, m = zc.shape[0], zc.shape[1]
+        n = xc.shape[2]
+        bt = max(1, min(win_tile, nw))
+        nb = pl.cdiv(nw, bt)
+        if nb * bt != nw:
+            padw = nb * bt - nw
+
+            def padw_fn(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((padw,) + a.shape[1:], a.dtype)], 0)
+            zc, xc, err, linv = map(padw_fn, (zc, xc, err, linv))
+        nt = pl.cdiv(n, tile_t)
+        se = jnp.sqrt(energy).astype(jnp.float32)
+        frr = freq.astype(jnp.float32)[:, None, :]        # (S, 1, P)
+        frc = freq.astype(jnp.float32)[:, :, None]        # (S, P, 1)
+        ser = se[:, None, :]
+        sec = se[:, :, None]
+        sc = jnp.concatenate([var, inv_l]).astype(jnp.float32)[None, :]
+        s, p = energy.shape
+        kernel = functools.partial(_kernel_mxu, num_sources=s)
+        full = lambda shape: pl.BlockSpec(shape, lambda w, t: (0,) * len(shape),
+                                          memory_space=pltpu.VMEM)
+        u, v = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((nb * bt, m, m), jnp.float32),
+                       jax.ShapeDtypeStruct((nb * bt, m, 1), jnp.float32)),
+            grid=(nb, nt),
+            in_specs=[
+                pl.BlockSpec((bt, m, 1), lambda w, t: (w, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1, tile_t), lambda w, t: (w, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1, tile_t), lambda w, t: (w, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, m, m), lambda w, t: (w, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full((s, 1, p)), full((s, p, 1)),
+                full((s, 1, p)), full((s, p, 1)),
+                pl.BlockSpec((1, 2 * s), lambda w, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(pl.BlockSpec((bt, m, m), lambda w, t: (w, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((bt, m, 1), lambda w, t: (w, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(zc, xc, err, linv, frr, frc, ser, sec, sc)
+        return u[:nw], v[:nw]
+    return fused
+
+
 def make_fused(s_src: int, p_par: int):
     """U = A0 A0^T, v = A0 err for a batch of windows.
 
@@ -269,9 +383,29 @@ def main():
 
     t_p = Timer.time_fn_loop(run_pallas, loop_iters=20, reps=3)
     t_x = Timer.time_fn_loop(run_xla, loop_iters=20, reps=3)
-    print(f"fused Pallas forward: {t_p * 1e3:8.2f} ms", flush=True)
-    print(f"XLA composition:      {t_x * 1e3:8.2f} ms", flush=True)
+    print(f"fused Pallas forward (VPU mix): {t_p * 1e3:8.2f} ms", flush=True)
+    print(f"XLA composition:                {t_x * 1e3:8.2f} ms", flush=True)
     print(f"speedup: {t_x / t_p:.2f}x", flush=True)
+
+    # MXU-mix variant
+    fusedm = make_fused_mxu(s_src, p_par)
+    u_m, v_m = jax.block_until_ready(
+        fusedm(zcj, xcj, errj, linvj, to32(energy), to32(freq), to32(var),
+               to32(inv_l), tile_t=args.tile, win_tile=args.win_tile))
+    dum = float(jnp.max(jnp.abs(u_m - u_x)) / (jnp.max(jnp.abs(u_x)) + 1e-30))
+    dvm = float(jnp.max(jnp.abs(v_m - v_x)) / (jnp.max(jnp.abs(v_x)) + 1e-30))
+    print(f"MXU-mix rel err vs XLA: U {dum:.2e}  v {dvm:.2e}", flush=True)
+    if np.isfinite(dum) and np.isfinite(dvm) and dum < 1e-4 and dvm < 1e-4:
+        def run_mxu(eps):
+            u, v = fusedm(zcj + eps, xcj, errj, linvj, to32(energy),
+                          to32(freq), to32(var), to32(inv_l),
+                          tile_t=args.tile, win_tile=args.win_tile)
+            return jnp.sum(u) * 1e-6 + jnp.sum(v)
+        t_m = Timer.time_fn_loop(run_mxu, loop_iters=20, reps=3)
+        print(f"fused Pallas forward (MXU mix): {t_m * 1e3:8.2f} ms "
+              f"(speedup {t_x / t_m:.2f}x)", flush=True)
+    else:
+        print("MXU-mix variant MISCOMPILES on this backend", flush=True)
 
 
 if __name__ == "__main__":
