@@ -731,8 +731,8 @@ def main():
         "amt88_dict_reg": lambda: run_amt(maxiter=40 if args.quick else 500,
                                           seconds=2.0 if args.quick else 10.0,
                                           dictionary="piano88", reg=True),
-        "hmc": lambda: run_hmc(num_samples=20 if args.quick else 200,
-                               num_warmup=10 if args.quick else 100,
+        "hmc": lambda: run_hmc(num_samples=20 if args.quick else 400,
+                               num_warmup=10 if args.quick else 300,
                                num_chains=2 if args.quick else 4),
         "kernel_train": lambda: run_kernel_train(
             maxiter=30 if args.quick else 300,
