@@ -49,6 +49,7 @@ _SLOW_TESTS = {
     "test_grid_path_survives_late_windows_at_44k",
     "test_sgpr_grid_path_sparse_on_grid_inputs",
     "test_predict_s_gram_reuse_matches", "test_lbfgs_improves_bound",
+    "test_lbfgs_segment_resume_exact",
     "test_synthetic_recovery_small", "test_fit_modgp_dispatcher",
     "test_fit_adam_segmented_matches_fit_adam",
     "test_ragged_padding_matches_unpadded_conditionals",

@@ -133,6 +133,40 @@ def test_lbfgs_improves_bound(rng):
     loss0 = float(model.loss())
     model2, losses = fit_lbfgs(model, lambda m: m.loss(), num_steps=40)
     assert float(model2.loss()) < loss0 - 1.0
+    # best-visited contract (round 5): the returned loss is <= every loss
+    # the solver evaluated, including the final state's
+    assert float(model2.loss()) <= float(np.min(np.asarray(losses))) + 1e-9
+
+
+def test_lbfgs_segment_resume_exact(rng):
+    """Threading (opt_state, best) across bounded segments reproduces the
+    single-call solve exactly (round 5: the vmapped bank L-BFGS runs as
+    step segments to stay under relayed-TPU RPC deadlines)."""
+    from gpitch_tpu.models.fit import lbfgs_solve
+
+    x, y = _data(rng, 40)
+    kern = Matern32.create(1.0, 1.0)
+    z = np.asarray(x)[::4]
+    model = SGPR.create(x, y, kern, Z=z, noise_variance=1.0)
+
+    m_one, l_one = lbfgs_solve(model, lambda m: m.loss(), num_steps=30)
+
+    m_seg, st, best = model, None, None
+    l_segs = []
+    import optax
+    for k, active in ((0, 10), (1, 10), (2, 10)):
+        if st is None:
+            st = optax.lbfgs(memory_size=20).init(m_seg)
+        m_seg, ls, st, best = lbfgs_solve(
+            m_seg, lambda m: m.loss(), num_steps=10, opt_state=st,
+            return_state=True, best_in=best)
+        l_segs.append(np.asarray(ls))
+    np.testing.assert_allclose(np.concatenate(l_segs), np.asarray(l_one),
+                               rtol=1e-12)
+    # the single-call return is the best-visited state; compare against the
+    # threaded best
+    np.testing.assert_allclose(float(best[1]),
+                               float(m_one.loss()), rtol=1e-10)
 
 
 def test_sgprss_stacked_sum_matches_sum(rng):
